@@ -1,0 +1,165 @@
+"""DSP golden tests, promoted from the reference's script-style contract
+(ref: test_dsp_functions.py, test_sps_modes.py — SURVEY.md §2.4/§4):
+synthetic RRC-shaped signals with known timing drive each recovery method and
+are scored on recovery rate and mean timing error.
+"""
+
+import numpy as np
+import pytest
+
+from vitiq.data import generate_test_signal
+from vitiq.dsp import (
+    extract_symbols,
+    matched_filter,
+    rrc_filter,
+    simple_timing_recovery,
+    timing_recovery_gardner,
+    timing_recovery_mueller_muller,
+)
+
+METHODS = ["simple_energy", "simple_correlation", "gardner", "mueller_muller"]
+
+
+class TestRRCFilter:
+    def test_length_and_symmetry(self):
+        taps = rrc_filter(alpha=0.35, span=8, sps=2)
+        assert len(taps) == 8 * 2 + 1
+        np.testing.assert_allclose(taps, taps[::-1], atol=1e-12)
+
+    def test_unit_energy(self):
+        for sps in (1, 2, 4, 8):
+            taps = rrc_filter(alpha=0.35, span=8, sps=sps)
+            np.testing.assert_allclose(np.sum(taps**2), 1.0, atol=1e-12)
+
+    def test_nyquist_property(self):
+        """RRC convolved with itself = raised cosine: zero ISI at symbol
+        multiples (within truncation error)."""
+        sps = 4
+        taps = rrc_filter(alpha=0.35, span=12, sps=sps)
+        rc = np.convolve(taps, taps)
+        center = len(rc) // 2
+        peak = rc[center]
+        for k in range(1, 5):
+            assert abs(rc[center + k * sps]) < 0.01 * peak
+            assert abs(rc[center - k * sps]) < 0.01 * peak
+
+    def test_singularity_points_finite(self):
+        # t = 1/(4*alpha) lands on a tap for alpha=0.25, sps=1
+        taps = rrc_filter(alpha=0.25, span=8, sps=1)
+        assert np.all(np.isfinite(taps))
+
+    def test_invalid_args(self):
+        with pytest.raises(ValueError):
+            rrc_filter(alpha=0.0)
+        with pytest.raises(ValueError):
+            rrc_filter(sps=0)
+
+
+class TestMatchedFilter:
+    def test_preserves_length_and_raises_snr(self):
+        i, q, idx = generate_test_signal("QPSK", num_symbols=200, sps=4, snr_db=5, seed=0)
+        fi, fq = matched_filter(i, q, sps=4)
+        assert fi.shape == i.shape and fq.shape == q.shape
+        # matched filtering should increase the energy concentration at
+        # symbol instants relative to midpoints
+        sym_energy = np.mean(fi[idx] ** 2 + fq[idx] ** 2)
+        mid_energy = np.mean(fi[idx[:-1] + 2] ** 2 + fq[idx[:-1] + 2] ** 2)
+        assert sym_energy > mid_energy
+
+
+class TestSPSModes:
+    def test_sps1_bypass_is_identity(self):
+        """RadioML mode: no filtering, no timing recovery, every sample IS a
+        symbol (ref: test_sps_modes.py:37-42)."""
+        rng = np.random.default_rng(42)
+        i = rng.standard_normal(100)
+        q = rng.standard_normal(100)
+        res = extract_symbols(i, q, sps=1)
+        np.testing.assert_array_equal(res["filtered_i"], np.float32(i))
+        np.testing.assert_array_equal(res["symbol_i"], np.float32(i))
+        np.testing.assert_array_equal(res["symbol_q"], np.float32(q))
+        np.testing.assert_array_equal(res["symbol_indices"], np.arange(100))
+
+    def test_sps2_halves_symbol_count(self):
+        """Oversampled mode discards ~50% of samples (ref: test_sps_modes.py:103-127)."""
+        i, q, _ = generate_test_signal("QPSK", num_symbols=100, sps=2, snr_db=15, seed=1)
+        res = extract_symbols(i, q, sps=2, method="simple_correlation")
+        assert 90 <= len(res["symbol_i"]) <= 110
+        assert not np.array_equal(res["filtered_i"], np.float32(i))  # filtering applied
+
+    def test_result_dict_keys(self):
+        i, q, _ = generate_test_signal("QPSK", num_symbols=50, sps=2, snr_db=20, seed=2)
+        res = extract_symbols(i, q, sps=2, method="gardner")
+        assert set(res) == {"symbol_i", "symbol_q", "symbol_indices", "filtered_i", "filtered_q"}
+        assert len(res["symbol_i"]) == len(res["symbol_q"]) == len(res["symbol_indices"])
+
+    def test_unknown_method_raises(self):
+        i, q, _ = generate_test_signal("QPSK", num_symbols=50, sps=2, seed=3)
+        with pytest.raises(ValueError):
+            extract_symbols(i, q, sps=2, method="psychic")
+
+
+class TestTimingRecoveryAccuracy:
+    """The contract's quality bar (ref: test_dsp_functions.py:117-156):
+    on QPSK, 100 symbols, sps=2, 20 dB — each method recovers ~ the true
+    symbol count with small mean timing error."""
+
+    @pytest.mark.parametrize("method", METHODS)
+    def test_recovery_rate_and_timing_error(self, method):
+        num_symbols = 100
+        i, q, true_idx = generate_test_signal(
+            "QPSK", num_symbols=num_symbols, sps=2, snr_db=20, seed=4
+        )
+        res = extract_symbols(i, q, sps=2, method=method)
+        recovered = res["symbol_indices"]
+        rate = len(recovered) / num_symbols
+        assert 0.9 <= rate <= 1.1, f"{method}: recovery rate {rate:.2f}"
+        errors = [np.min(np.abs(true_idx - r)) for r in recovered]
+        mean_err = float(np.mean(errors))
+        assert mean_err <= 0.75, f"{method}: mean timing error {mean_err:.2f} samples"
+
+    @pytest.mark.parametrize("method", METHODS)
+    @pytest.mark.parametrize("sps", [2, 4])
+    def test_sps4_and_modulations(self, method, sps):
+        i, q, true_idx = generate_test_signal("BPSK", num_symbols=80, sps=sps,
+                                              snr_db=20, seed=5)
+        res = extract_symbols(i, q, sps=sps, method=method)
+        rate = len(res["symbol_indices"]) / 80
+        assert 0.85 <= rate <= 1.15
+        errors = [np.min(np.abs(true_idx - r)) for r in res["symbol_indices"]]
+        assert np.mean(errors) <= 0.3 * sps
+
+    def test_gardner_requires_oversampling(self):
+        with pytest.raises(ValueError):
+            timing_recovery_gardner(np.ones(10), np.ones(10), sps=1)
+        with pytest.raises(ValueError):
+            timing_recovery_mueller_muller(np.ones(10), np.ones(10), sps=1)
+
+    def test_simple_energy_picks_peak_phase(self):
+        """With symbols on even indices, the energy picker must choose phase 0."""
+        i, q, _ = generate_test_signal("QPSK", num_symbols=200, sps=2, snr_db=25, seed=6)
+        fi, fq = matched_filter(i, q, sps=2)
+        idx = simple_timing_recovery(fi, fq, sps=2, method="energy")
+        assert np.all(idx % 2 == 0)
+
+
+class TestSyntheticDataset:
+    def test_shapes_and_determinism(self):
+        from vitiq.data import SyntheticAMCDataset
+        ds1 = SyntheticAMCDataset(classes=("BPSK", "QPSK"), frames_per_class=8,
+                                  frame_len=64, seed=7)
+        ds2 = SyntheticAMCDataset(classes=("BPSK", "QPSK"), frames_per_class=8,
+                                  frame_len=64, seed=7)
+        assert ds1.X.shape == (16, 64, 2)
+        np.testing.assert_array_equal(ds1.X, ds2.X)
+        np.testing.assert_array_equal(ds1.Y, ds2.Y)
+        assert set(np.unique(ds1.Y)) == {0, 1}
+
+    def test_snr_calibration(self):
+        """Unit-power constellation + AWGN: measured SNR tracks requested."""
+        from vitiq.data import SyntheticAMCDataset
+        ds = SyntheticAMCDataset(classes=("QPSK",), frames_per_class=64,
+                                 frame_len=1024, snrs_db=(10.0,), seed=8)
+        p = np.mean(ds.X[..., 0] ** 2 + ds.X[..., 1] ** 2)
+        # signal power 1 + noise power 0.1 => ~1.1
+        assert 1.05 < p < 1.15

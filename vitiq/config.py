@@ -1,0 +1,327 @@
+"""Configuration tree: one dataclass hierarchy with validation, JSON round-trip,
+and CLI overlay.
+
+Replaces the reference's per-arm class-attribute `Config` objects
+(ref: ViT/training/train.py:42-118, transformer_rawIQ/training/train.py:44-167)
+with a single typed config. Defaults reproduce the reference defaults exactly,
+including the 19-modulation target list, split seeds 42/49, AdamW betas
+(0.9, 0.99), ReduceLROnPlateau(factor=0.5, patience=5) and early-stop
+patience 10. The rawIQ arm's `Config.validate()` checks
+(ref: transformer_rawIQ/training/train.py:116-157) are generalized to both arms.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+# The 19 digital modulation classes trained in the reference
+# (ref: ViT/training/train.py:60-80).
+TARGET_MODULATIONS_19: Tuple[str, ...] = (
+    "OOK", "4ASK", "8ASK", "BPSK", "QPSK", "8PSK", "16PSK", "32PSK",
+    "16APSK", "32APSK", "64APSK", "128APSK", "16QAM", "32QAM", "64QAM",
+    "128QAM", "256QAM", "GMSK", "OQPSK",
+)
+
+# Full 24-class RadioML 2018.01A list (the eval CLI's fallback default,
+# ref: ViT/training/evaluate.py:69-74).
+TARGET_MODULATIONS_24: Tuple[str, ...] = (
+    "OOK", "4ASK", "8ASK", "BPSK", "QPSK", "8PSK", "16PSK", "32PSK",
+    "16APSK", "32APSK", "64APSK", "128APSK", "16QAM", "32QAM", "64QAM",
+    "128QAM", "256QAM", "AM-SSB-WC", "AM-SSB-SC", "AM-DSB-WC", "AM-DSB-SC",
+    "FM", "GMSK", "OQPSK",
+)
+
+
+@dataclass
+class ModelConfig:
+    """Architecture of one arm.
+
+    arm='vit'   : [B, 1, 32, 64] image -> Conv-patchify -> CLS encoder -> Linear head
+                  (ref: ViT/models/amc_transformer.py:5-31)
+    arm='rawiq' : [B, 2, 1024] sequence -> conv1d|segment tokens -> encoder ->
+                  CLS or mean-pool -> LayerNorm+Linear head
+                  (ref: transformer_rawIQ/models/transformer_rawIQ.py:7-97)
+    """
+
+    arm: str = "vit"  # 'vit' | 'rawiq'
+    num_classes: int = 19
+    d_model: int = 128
+    n_head: int = 8
+    n_layers: int = 6
+    ffn_hidden: int = 512  # reference ViT default: D_MODEL * 4 (train.py:88)
+    drop_prob: float = 0.1
+
+    # ViT arm uses 1-channel [1, 32, 64] images; rawIQ uses 2 I/Q channels.
+    # 0 means "derive from arm" (1 for vit, 2 for rawiq).
+    in_channels: int = 0
+    img_size_h: int = 32
+    img_size_w: int = 64
+    patch_size: int = 4
+
+    # raw-IQ arm
+    seq_length: int = 1024
+    embedding_type: str = "segment"  # 'conv1d' | 'segment'
+    segment_size: int = 16
+    use_cls_token: bool = True
+
+    # Numerics preset: 'reference' = f32, exact reference semantics (post-norm,
+    # LN eps=1e-12 biased var, ReLU FFN, -10000 mask fill); 'tpu' = bf16 matmul
+    # compute with f32 params/softmax/LN and the Pallas fused-attention path.
+    numerics: str = "reference"
+
+    def __post_init__(self):
+        if self.in_channels == 0:
+            self.in_channels = 1 if self.arm == "vit" else 2
+
+    @property
+    def num_tokens(self) -> int:
+        """Sequence length seen by the encoder, including the CLS token."""
+        if self.arm == "vit":
+            n = (self.img_size_h // self.patch_size) * (self.img_size_w // self.patch_size)
+            return n + 1
+        if self.embedding_type == "conv1d":
+            n = self.seq_length
+        else:
+            n = self.seq_length // self.segment_size
+        return n + (1 if self.use_cls_token else 0)
+
+    @property
+    def d_head(self) -> int:
+        return self.d_model // self.n_head
+
+    def validate(self) -> None:
+        errors = []
+        if self.arm not in ("vit", "rawiq"):
+            errors.append(f"arm must be 'vit' or 'rawiq', got {self.arm!r}")
+        if self.d_model % self.n_head != 0:
+            errors.append(f"d_model ({self.d_model}) must be divisible by n_head ({self.n_head})")
+        if self.arm == "vit":
+            if self.img_size_h % self.patch_size or self.img_size_w % self.patch_size:
+                errors.append(
+                    f"img size ({self.img_size_h}x{self.img_size_w}) must be divisible "
+                    f"by patch_size ({self.patch_size})"
+                )
+        else:
+            if self.embedding_type not in ("conv1d", "segment"):
+                errors.append(f"embedding_type must be 'conv1d' or 'segment', got {self.embedding_type!r}")
+            if self.embedding_type == "segment" and self.seq_length % self.segment_size:
+                errors.append(
+                    f"seq_length ({self.seq_length}) must be divisible by "
+                    f"segment_size ({self.segment_size})"
+                )
+        if self.numerics not in ("reference", "tpu"):
+            errors.append(f"numerics must be 'reference' or 'tpu', got {self.numerics!r}")
+        for name in ("num_classes", "d_model", "n_head", "n_layers", "ffn_hidden"):
+            if getattr(self, name) <= 0:
+                errors.append(f"{name} must be positive")
+        if not 0.0 <= self.drop_prob < 1.0:
+            errors.append(f"drop_prob must be in [0, 1), got {self.drop_prob}")
+        if errors:
+            raise ValueError("ModelConfig validation failed:\n" + "\n".join(f"  - {e}" for e in errors))
+
+
+@dataclass
+class DataConfig:
+    """Dataset location, split and normalization parameters.
+
+    Split is 70/15/15, stratified jointly by (modulation x SNR) with
+    SPLIT_SEED=42; normalization stats come from a NORM_SEED=49 seeded
+    5000-sample subset of the train split (ref: ViT/dataloader/utils.py:58-148,
+    ViT/dataloader/dataset.py:116-158).
+    """
+
+    source: str = "synthetic"  # 'synthetic' | 'hdf5'
+    file_path: str = ""
+    json_path: str = ""
+    target_modulations: Tuple[str, ...] = TARGET_MODULATIONS_19
+    train_size: float = 0.7
+    valid_size: float = 0.15
+    test_size: float = 0.15
+    split_seed: int = 42
+    norm_seed: int = 49
+    norm_sample_count: int = 5000
+    # synthetic source parameters
+    synthetic_classes: Tuple[str, ...] = ("BPSK", "QPSK", "16QAM")
+    synthetic_frames_per_class: int = 2048
+    synthetic_snr_db: Tuple[float, ...] = (-8.0, 0.0, 8.0, 20.0)
+    synthetic_seed: int = 0
+
+    @property
+    def num_classes(self) -> int:
+        mods = self.target_modulations if self.source == "hdf5" else self.synthetic_classes
+        return len(mods)
+
+    def validate(self, check_paths: bool = True) -> None:
+        errors = []
+        if self.source not in ("synthetic", "hdf5"):
+            errors.append(f"source must be 'synthetic' or 'hdf5', got {self.source!r}")
+        if abs(self.train_size + self.valid_size + self.test_size - 1.0) > 1e-9:
+            errors.append(
+                f"splits must sum to 1.0, got "
+                f"{self.train_size + self.valid_size + self.test_size}"
+            )
+        if self.source == "hdf5" and check_paths:
+            if not Path(self.file_path).exists():
+                errors.append(f"HDF5 file not found: {self.file_path}")
+            if self.json_path and not Path(self.json_path).exists():
+                errors.append(f"classes JSON not found: {self.json_path}")
+        if errors:
+            raise ValueError("DataConfig validation failed:\n" + "\n".join(f"  - {e}" for e in errors))
+
+
+@dataclass
+class TrainConfig:
+    """Optimization & loop hyperparameters; defaults = reference defaults
+    (ref: ViT/training/train.py:90-110, :405-424)."""
+
+    batch_size: int = 256
+    num_epochs: int = 100
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-3  # rawIQ arm default is 1e-4
+    label_smoothing: float = 0.1
+    grad_clip_max_norm: float = 1.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.99
+    adam_eps: float = 1e-8
+    # ReduceLROnPlateau(mode='min', factor=0.5, patience=5)  (train.py:415-421)
+    lr_plateau_factor: float = 0.5
+    lr_plateau_patience: int = 5
+    min_lr: float = 1e-7
+    # EarlyStopping(patience=10)  (utils.py:14-55)
+    patience: int = 10
+    save_freq: int = 10
+    init_seed: int = 0
+    dropout_seed: int = 1
+    shuffle_seed: int = 2
+    # parallelism: number of mesh devices along the data / model axes
+    data_parallel: int = 1
+    model_parallel: int = 1
+
+    def validate(self) -> None:
+        errors = []
+        for name in ("batch_size", "num_epochs"):
+            if getattr(self, name) <= 0:
+                errors.append(f"{name} must be positive")
+        if self.learning_rate <= 0:
+            errors.append("learning_rate must be positive")
+        if errors:
+            raise ValueError("TrainConfig validation failed:\n" + "\n".join(f"  - {e}" for e in errors))
+
+
+@dataclass
+class ExperimentConfig:
+    """Everything needed to reproduce a run; JSON round-trips and is embedded in
+    checkpoints (the rawIQ arm persisted config.json per experiment,
+    ref: transformer_rawIQ/training/train.py:378-381)."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    experiment_name: str = "exp"
+    checkpoint_dir: str = "result/checkpoints"
+    log_dir: str = "result/logs"
+
+    def validate(self, check_paths: bool = True) -> None:
+        self.model.validate()
+        self.data.validate(check_paths=check_paths)
+        self.train.validate()
+        if self.model.num_classes != self.data.num_classes:
+            raise ValueError(
+                f"model.num_classes ({self.model.num_classes}) != number of dataset "
+                f"classes ({self.data.num_classes})"
+            )
+
+    # ---- JSON round-trip -------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path: Optional[str] = None) -> str:
+        text = json.dumps(self.to_dict(), indent=2)
+        if path is not None:
+            Path(path).parent.mkdir(parents=True, exist_ok=True)
+            Path(path).write_text(text)
+        return text
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ExperimentConfig":
+        def build(dc_cls, sub):
+            fields = {f.name for f in dataclasses.fields(dc_cls)}
+            kwargs = {k: v for k, v in sub.items() if k in fields}
+            for k, v in kwargs.items():
+                if isinstance(v, list):
+                    kwargs[k] = tuple(v)
+            return dc_cls(**kwargs)
+
+        return cls(
+            model=build(ModelConfig, d.get("model", {})),
+            data=build(DataConfig, d.get("data", {})),
+            train=build(TrainConfig, d.get("train", {})),
+            experiment_name=d.get("experiment_name", "exp"),
+            checkpoint_dir=d.get("checkpoint_dir", "result/checkpoints"),
+            log_dir=d.get("log_dir", "result/logs"),
+        )
+
+    @classmethod
+    def from_json(cls, text_or_path: str) -> "ExperimentConfig":
+        text = text_or_path
+        if "\n" not in text_or_path and len(text_or_path) < 4096:
+            p = Path(text_or_path)
+            if p.exists():
+                text = p.read_text()
+        return cls.from_dict(json.loads(text))
+
+    # ---- reference presets -------------------------------------------------
+    @classmethod
+    def vit_reference(cls, **overrides) -> "ExperimentConfig":
+        """The reference ViT arm's production config (ref: ViT/training/train.py:82-95)."""
+        cfg = cls(
+            model=ModelConfig(arm="vit", num_classes=19, d_model=128, n_head=8, n_layers=6,
+                              ffn_hidden=512, drop_prob=0.1, patch_size=4),
+            data=DataConfig(source="hdf5", target_modulations=TARGET_MODULATIONS_19),
+            train=TrainConfig(weight_decay=1e-3, save_freq=10),
+        )
+        return _apply_overrides(cfg, overrides)
+
+    @classmethod
+    def rawiq_reference(cls, **overrides) -> "ExperimentConfig":
+        """The reference rawIQ arm's defaults (ref: transformer_rawIQ/training/train.py:84-106)."""
+        cfg = cls(
+            model=ModelConfig(arm="rawiq", num_classes=19, d_model=128, n_head=8, n_layers=6,
+                              ffn_hidden=1024, drop_prob=0.2, embedding_type="segment",
+                              segment_size=16, use_cls_token=True),
+            data=DataConfig(source="hdf5", target_modulations=TARGET_MODULATIONS_19),
+            train=TrainConfig(weight_decay=1e-4, save_freq=5),
+        )
+        return _apply_overrides(cfg, overrides)
+
+
+def _apply_overrides(cfg: ExperimentConfig, overrides: Dict[str, Any]) -> ExperimentConfig:
+    """Apply flat 'section.key' or bare-key overrides (CLI overlay).
+
+    Bare keys are resolved against model, then train, then data — mirroring the
+    reference's `Config.from_args` upper-case attribute overlay
+    (ref: ViT/training/train.py:112-118).
+    """
+    for key, value in overrides.items():
+        if value is None:
+            continue
+        if "." in key:
+            section, name = key.split(".", 1)
+            sub = getattr(cfg, section)
+            if not hasattr(sub, name):
+                raise AttributeError(f"unknown config key {key!r}")
+            setattr(sub, name, value)
+        elif hasattr(cfg, key):
+            setattr(cfg, key, value)
+        else:
+            for sub in (cfg.model, cfg.train, cfg.data):
+                if hasattr(sub, key):
+                    setattr(sub, key, value)
+                    break
+            else:
+                raise AttributeError(f"unknown config key {key!r}")
+    return cfg

@@ -1,0 +1,128 @@
+"""Preprocessing front-end: symbol extraction + normalization + model-shaping.
+
+Single-frame numpy APIs reproduce the reference helpers retained in
+`plot_preprocessing_signal.py:72-187` and the deleted DSP module's
+`extract_symbols` contract (SURVEY.md §2.4). Batched jnp variants are the
+jit-fusable production path that feeds the models without leaving the device.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from vitiq.dsp.filtering import matched_filter
+from vitiq.dsp.timing import (
+    simple_timing_recovery,
+    timing_recovery_gardner,
+    timing_recovery_mueller_muller,
+)
+
+_METHODS = ("simple_energy", "simple_correlation", "gardner", "mueller_muller")
+
+
+def extract_symbols(i_signal, q_signal, sps: int = 1, method: str = "simple_energy") -> Dict:
+    """Symbol extraction with SPS-mode semantics from the reference contract.
+
+    sps == 1 (RadioML 2018.01A mode, ref: test_sps_modes.py:37-42): BYPASS —
+      no filtering, no timing recovery; every sample IS a symbol, so
+      `filtered_i` equals the input exactly and the output length equals the
+      input length.
+    sps >= 2 (oversampled mode, ref: test_dsp_functions.py:117-156): RRC
+      matched filter, then timing recovery via `method`, yielding ~n/sps
+      symbols.
+
+    Returns dict with keys: symbol_i, symbol_q, symbol_indices,
+    filtered_i, filtered_q.
+    """
+    i_sig = np.asarray(i_signal, dtype=np.float32)
+    q_sig = np.asarray(q_signal, dtype=np.float32)
+    if i_sig.shape != q_sig.shape or i_sig.ndim != 1:
+        raise ValueError("i_signal and q_signal must be equal-length 1-D arrays")
+    if sps < 1:
+        raise ValueError(f"sps must be >= 1, got {sps}")
+
+    if sps == 1:
+        indices = np.arange(len(i_sig))
+        return {
+            "symbol_i": i_sig,
+            "symbol_q": q_sig,
+            "symbol_indices": indices,
+            "filtered_i": i_sig,  # identical: test_sps_modes checks array_equal
+            "filtered_q": q_sig,
+        }
+
+    if method not in _METHODS:
+        raise ValueError(f"unknown timing-recovery method {method!r}; choose from {_METHODS}")
+
+    filtered_i, filtered_q = matched_filter(i_sig, q_sig, sps=sps)
+    if method == "simple_energy":
+        indices = simple_timing_recovery(filtered_i, filtered_q, sps, method="energy")
+    elif method == "simple_correlation":
+        indices = simple_timing_recovery(filtered_i, filtered_q, sps, method="correlation")
+    elif method == "gardner":
+        indices = timing_recovery_gardner(filtered_i, filtered_q, sps)
+    else:
+        indices = timing_recovery_mueller_muller(filtered_i, filtered_q, sps)
+
+    return {
+        "symbol_i": filtered_i[indices],
+        "symbol_q": filtered_q[indices],
+        "symbol_indices": indices,
+        "filtered_i": filtered_i,
+        "filtered_q": filtered_q,
+    }
+
+
+# --------------------------------------------------------------------------
+# normalization + model shaping (single frame, numpy — reference parity)
+# --------------------------------------------------------------------------
+
+def apply_normalization(i_signal, q_signal, stats: Dict[str, float]):
+    """Z-score I and Q with per-channel train-split stats
+    (ref: plot_preprocessing_signal.py:115-131)."""
+    i_norm = (np.asarray(i_signal) - stats["i_mean"]) / stats["i_std"]
+    q_norm = (np.asarray(q_signal) - stats["q_mean"]) / stats["q_std"]
+    return i_norm, q_norm
+
+
+def preprocess_for_vit(i_signal, q_signal, stats: Dict[str, float], H: int = 32, W: int = 64):
+    """normalize -> concat [I, Q] (2048) -> reshape [1, H, W]
+    (ref: plot_preprocessing_signal.py:134-161, ViT/dataloader/dataset.py:211-226)."""
+    i_norm, q_norm = apply_normalization(i_signal, q_signal, stats)
+    return np.concatenate([i_norm, q_norm]).reshape(1, H, W)
+
+
+def preprocess_for_transformer(i_signal, q_signal, stats: Dict[str, float]):
+    """normalize -> stack [2, L]
+    (ref: plot_preprocessing_signal.py:164-187)."""
+    i_norm, q_norm = apply_normalization(i_signal, q_signal, stats)
+    return np.stack([i_norm, q_norm], axis=0)
+
+
+# --------------------------------------------------------------------------
+# batched, jittable device path
+# --------------------------------------------------------------------------
+
+def preprocess_batch_vit(x: jnp.ndarray, stats: Dict[str, float],
+                         H: int = 32, W: int = 64) -> jnp.ndarray:
+    """[B, L, 2] raw frames -> [B, 1, H, W] normalized ViT images, fully
+    on-device. Fuses into the model jit (the reference does this per-sample on
+    CPU workers, ref: ViT/dataloader/dataset.py:211-226)."""
+    mean = jnp.asarray([stats["i_mean"], stats["q_mean"]], x.dtype)
+    std = jnp.asarray([stats["i_std"], stats["q_std"]], x.dtype)
+    norm = (x - mean) / std
+    B = x.shape[0]
+    # concat I then Q (channel-major), then view as image
+    flat = jnp.concatenate([norm[..., 0], norm[..., 1]], axis=-1)  # [B, 2L]
+    return flat.reshape(B, 1, H, W)
+
+
+def preprocess_batch_rawiq(x: jnp.ndarray, stats: Dict[str, float]) -> jnp.ndarray:
+    """[B, L, 2] raw frames -> [B, 2, L] normalized sequences, on-device
+    (ref: transformer_rawIQ/dataloader/dataset.py:214-224)."""
+    mean = jnp.asarray([stats["i_mean"], stats["q_mean"]], x.dtype)
+    std = jnp.asarray([stats["i_std"], stats["q_std"]], x.dtype)
+    return ((x - mean) / std).transpose(0, 2, 1)

@@ -1,0 +1,153 @@
+"""Symbol timing recovery.
+
+Implements the four methods named by the reference's (deleted) DSP module's
+test contract (ref: test_dsp_functions.py:117-156): `simple_energy`,
+`simple_correlation` (vectorized phase pickers) and `gardner`,
+`mueller_muller` (sequential error-feedback loops). Quality bar from the
+contract: on RRC-shaped QPSK at sps=2 / 20 dB each method recovers ~= the true
+symbol count with small mean timing error in samples.
+
+TPU design notes: the feedback loops are data-dependent recurrences, so they
+compile to `lax.scan` with a fixed trip count (n // sps) and a validity mask —
+no dynamic shapes ever reach XLA. The phase pickers are pure vector reductions.
+Host-facing wrappers return plain numpy index arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _lin_interp(x: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Linear interpolation of 1-D signal x at fractional position(s) pos."""
+    n = x.shape[0]
+    pos = jnp.clip(pos, 0.0, n - 1.0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n - 1)
+    frac = pos - lo
+    return x[lo] * (1.0 - frac) + x[hi] * frac
+
+
+# --------------------------------------------------------------------------
+# vectorized phase pickers
+# --------------------------------------------------------------------------
+
+def simple_timing_recovery(i_signal, q_signal, sps: int, method: str = "energy") -> np.ndarray:
+    """Pick the best of the `sps` decimation phases and sample at symbol rate.
+
+    method='energy':       phase maximizing the mean symbol energy |x|^2
+                           (the eye is widest where the matched-filter output
+                           peaks).
+    method='correlation':  phase maximizing symbol-to-symbol correlation
+                           sum |x[p] . x[p+sps]| — peaks align consecutive
+                           symbol cores rather than transitions.
+
+    Returns integer sample indices, ~len(signal)//sps of them.
+    """
+    i_sig = np.asarray(i_signal, dtype=np.float64)
+    q_sig = np.asarray(q_signal, dtype=np.float64)
+    n = len(i_sig)
+    num_sym = n // sps
+    scores = np.empty(sps)
+    for phase in range(sps):
+        idx = np.arange(phase, phase + num_sym * sps, sps)
+        idx = idx[idx < n]
+        si, sq = i_sig[idx], q_sig[idx]
+        if method == "energy":
+            scores[phase] = np.mean(si * si + sq * sq)
+        elif method == "correlation":
+            scores[phase] = np.mean(np.abs(si[:-1] * si[1:] + sq[:-1] * sq[1:]))
+        else:
+            raise ValueError(f"unknown simple timing method {method!r}")
+    best = int(np.argmax(scores))
+    idx = np.arange(best, best + num_sym * sps, sps)
+    return idx[idx < n]
+
+
+# --------------------------------------------------------------------------
+# error-feedback loops (lax.scan)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("sps", "num_steps"))
+def _gardner_scan(i_sig, q_sig, sps: int, num_steps: int, gain: float = 0.3):
+    """Gardner TED: e = (y[k] - y[k-1]) * y[k-1/2] summed over I/Q.
+
+    The error is zero when the mid-symbol sample sits on the zero-crossing /
+    symbol transition, i.e. when the strobe sits on the symbol peak.
+    """
+    n = i_sig.shape[0]
+
+    def step(pos, _):
+        yi = _lin_interp(i_sig, pos)
+        yi_prev = _lin_interp(i_sig, pos - sps)
+        yi_mid = _lin_interp(i_sig, pos - sps / 2.0)
+        yq = _lin_interp(q_sig, pos)
+        yq_prev = _lin_interp(q_sig, pos - sps)
+        yq_mid = _lin_interp(q_sig, pos - sps / 2.0)
+        err = (yi - yi_prev) * yi_mid + (yq - yq_prev) * yq_mid
+        next_pos = pos + sps - jnp.clip(gain * err, -0.5 * sps, 0.5 * sps)
+        valid = pos <= n - 1
+        return next_pos, (pos, valid)
+
+    _, (positions, valid) = jax.lax.scan(step, jnp.asarray(float(sps)), None, length=num_steps)
+    return positions, valid
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "num_steps"))
+def _mueller_muller_scan(i_sig, q_sig, sps: int, num_steps: int, gain: float = 0.1):
+    """Mueller-Müller TED: e = sign(y[k-1])*y[k] - sign(y[k])*y[k-1], I + Q.
+
+    Decision-directed; works at 1 sample/symbol internally, so the strobe
+    advances by sps with the error steering the fractional phase. With this
+    operand order the measured S-curve is POSITIVE when sampling early, so the
+    correction is ADDED to the strobe position (opposite of Gardner's, whose
+    S-curve is positive when late).
+    """
+    n = i_sig.shape[0]
+
+    def step(pos, _):
+        yi = _lin_interp(i_sig, pos)
+        yi_prev = _lin_interp(i_sig, pos - sps)
+        yq = _lin_interp(q_sig, pos)
+        yq_prev = _lin_interp(q_sig, pos - sps)
+        err = (jnp.sign(yi_prev) * yi - jnp.sign(yi) * yi_prev) + (
+            jnp.sign(yq_prev) * yq - jnp.sign(yq) * yq_prev
+        )
+        next_pos = pos + sps + jnp.clip(gain * err, -0.5 * sps, 0.5 * sps)
+        valid = pos <= n - 1
+        return next_pos, (pos, valid)
+
+    _, (positions, valid) = jax.lax.scan(step, jnp.asarray(float(sps)), None, length=num_steps)
+    return positions, valid
+
+
+def _scan_to_indices(positions, valid, n: int) -> np.ndarray:
+    pos = np.asarray(positions)[np.asarray(valid)]
+    idx = np.rint(pos).astype(np.int64)
+    return np.clip(idx, 0, n - 1)
+
+
+def timing_recovery_gardner(i_signal, q_signal, sps: int) -> np.ndarray:
+    """Gardner timing recovery -> integer sample indices (~n/sps symbols)."""
+    if sps < 2:
+        raise ValueError("Gardner timing recovery requires sps >= 2")
+    i_sig = jnp.asarray(i_signal, jnp.float32)
+    q_sig = jnp.asarray(q_signal, jnp.float32)
+    n = i_sig.shape[0]
+    positions, valid = _gardner_scan(i_sig, q_sig, sps, num_steps=n // sps)
+    return _scan_to_indices(positions, valid, n)
+
+
+def timing_recovery_mueller_muller(i_signal, q_signal, sps: int) -> np.ndarray:
+    """Mueller-Müller timing recovery -> integer sample indices."""
+    if sps < 2:
+        raise ValueError("Mueller-Müller timing recovery requires sps >= 2")
+    i_sig = jnp.asarray(i_signal, jnp.float32)
+    q_sig = jnp.asarray(q_signal, jnp.float32)
+    n = i_sig.shape[0]
+    positions, valid = _mueller_muller_scan(i_sig, q_sig, sps, num_steps=n // sps)
+    return _scan_to_indices(positions, valid, n)

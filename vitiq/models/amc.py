@@ -1,0 +1,78 @@
+"""AMC classifier heads for both arms, over the shared encoder.
+
+* ViT arm: take token 0 (CLS), Linear(d_model, num_classes) — NO pre-head
+  LayerNorm (ref: ViT/models/amc_transformer.py:24-30).
+* raw-IQ arm: CLS token or mean-pool over tokens, then
+  LayerNorm(d_model) -> Linear(d_model, num_classes) — the rawIQ head DOES
+  have a pre-head LayerNorm (ref: transformer_rawIQ/models/transformer_rawIQ.py:67-96).
+
+`make_forward(cfg)` returns a pure function `(params, src, train, rng) -> logits`
+that closes over the static config, so it jits cleanly and the same callable is
+reused for train/eval/bench.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vitiq.config import ModelConfig
+from vitiq.models.encoder import encoder_apply, encoder_init
+from vitiq.models.layers import layer_norm_apply, layer_norm_init, linear_apply, linear_init
+from vitiq.ops.attention import scaled_dot_product_attention
+from vitiq.ops.numerics import policy_for
+
+
+def init_amc_params(rng, cfg: ModelConfig):
+    cfg.validate()
+    r_enc, r_head, r_ln = jax.random.split(rng, 3)
+    params = {
+        "encoder": encoder_init(r_enc, cfg),
+        "mlp_head": linear_init(r_head, cfg.d_model, cfg.num_classes),
+    }
+    if cfg.arm == "rawiq":
+        params["head_norm"] = layer_norm_init(cfg.d_model)
+    return params
+
+
+def make_forward(cfg: ModelConfig, attention_fn: Optional[Callable] = None):
+    """Build the jittable forward pass for `cfg`.
+
+    Returns fn(params, src, train=False, rng=None) -> logits [B, num_classes].
+    src is [B, 1, 32, 64] for the ViT arm, [B, 2, seq_length] for rawIQ.
+    """
+    cfg.validate()
+    policy = policy_for(cfg.numerics)
+    if attention_fn is None:
+        if cfg.numerics == "tpu":
+            # fused Pallas attention on TPU backends; falls back to XLA elsewhere
+            from vitiq.ops.pallas.flash_attention import fused_attention
+            attention_fn = fused_attention
+        else:
+            attention_fn = scaled_dot_product_attention
+
+    def forward(params, src, train: bool = False, rng=None):
+        x = encoder_apply(
+            params["encoder"], src, cfg, policy, train=train, rng=rng,
+            attention_fn=attention_fn,
+        )
+        if cfg.arm == "vit":
+            feat = x[:, 0]
+        else:
+            if cfg.use_cls_token:
+                feat = x[:, 0]
+            else:
+                feat = jnp.mean(x, axis=1)  # transformer_rawIQ.py:92-93
+            feat = layer_norm_apply(params["head_norm"], feat)
+        logits = linear_apply(params["mlp_head"], feat, policy)
+        return logits.astype(jnp.float32)
+
+    return forward
+
+
+def count_parameters(params) -> int:
+    """Total trainable parameter count (utility parity with
+    ref: ViT/training/utils.py:469-483)."""
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
