@@ -1,0 +1,34 @@
+#!/usr/bin/env python
+"""Driver-facing benchmark: prints ONE JSON line.
+
+Metric: classified IQ frames/sec/chip on the flagship fused path — z-score
+normalization + [1,32,64] reshape + patchify + ViT-d128/L6 encoder + head in a
+single jit program, bf16 'tpu' numerics, raw frames resident in HBM.
+
+vs_baseline is relative to the 1M frames/s/chip target from BASELINE.json
+(the reference publishes no inference throughput; its only number is ~2,330
+frames/s TRAIN on an unspecified CUDA GPU, README.md:458-473).
+"""
+
+import json
+import sys
+
+
+def main() -> int:
+    from vitiq.bench import TARGET_FPS, bench_fused_infer
+
+    res = bench_fused_infer("vit")
+    print(json.dumps({
+        "metric": "iq_frames_per_sec_per_chip",
+        "value": res["value"],
+        "unit": "frames/s",
+        "vs_baseline": res["value"] / TARGET_FPS,
+        "p50_latency_ms": res["p50_latency_ms"],
+        "batch_size": res["batch_size"],
+        "backend": res["backend"],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

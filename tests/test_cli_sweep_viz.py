@@ -1,0 +1,189 @@
+"""Tests for the CLI surface, the PSO engine, and the visualization tool."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vitiq.cli import build_parser, _config_from_args
+from vitiq.sweep import (
+    MIN_BOUNDS,
+    MAX_BOUNDS,
+    decode_particle,
+    global_best_pso,
+)
+
+
+class TestCLIParser:
+    def test_train_defaults_vit(self):
+        args = build_parser().parse_args(["train"])
+        cfg = _config_from_args(args)
+        assert cfg.model.arm == "vit"
+        assert cfg.model.d_model == 128 and cfg.model.n_layers == 6
+        assert cfg.train.weight_decay == 1e-3  # ViT arm default
+
+    def test_train_rawiq_defaults(self):
+        args = build_parser().parse_args(["train", "--arm", "rawiq"])
+        cfg = _config_from_args(args)
+        assert cfg.model.arm == "rawiq"
+        assert cfg.model.ffn_hidden == 1024 and cfg.model.drop_prob == 0.2
+        assert cfg.train.weight_decay == 1e-4
+        assert cfg.model.in_channels == 2
+
+    def test_overrides_reach_config(self):
+        args = build_parser().parse_args([
+            "train", "--arm", "rawiq", "--d_model", "64", "--n_head", "4",
+            "--learning_rate", "3e-4", "--batch_size", "32",
+            "--embedding_type", "conv1d", "--numerics", "tpu",
+        ])
+        cfg = _config_from_args(args)
+        assert cfg.model.d_model == 64
+        assert cfg.model.embedding_type == "conv1d"
+        assert cfg.model.numerics == "tpu"
+        assert cfg.train.learning_rate == pytest.approx(3e-4)
+        assert cfg.train.batch_size == 32
+
+    def test_synthetic_source_adjusts_classes(self):
+        args = build_parser().parse_args(["train", "--source", "synthetic"])
+        cfg = _config_from_args(args)
+        assert cfg.model.num_classes == len(cfg.data.synthetic_classes)
+
+    def test_invalid_override_rejected(self):
+        args = build_parser().parse_args(["train", "--d_model", "30"])
+        with pytest.raises(ValueError):
+            _config_from_args(args)
+
+    def test_config_json_loading(self, tmp_path):
+        from vitiq.config import ExperimentConfig
+        p = tmp_path / "c.json"
+        ExperimentConfig.rawiq_reference(**{"model.n_layers": 9}).to_json(p)
+        args = build_parser().parse_args(["train", "--arm", "rawiq",
+                                          "--config", str(p),
+                                          "--source", "synthetic"])
+        cfg = _config_from_args(args)
+        assert cfg.model.n_layers == 9
+
+    def test_all_subcommands_parse(self):
+        parser = build_parser()
+        for argv in (["train"],
+                     ["evaluate", "--checkpoint", "x"],
+                     ["compare", "--vit_report", "a", "--transformer_report", "b"],
+                     ["visualize"],
+                     ["sweep"],
+                     ["bench"]):
+            args = parser.parse_args(argv)
+            assert callable(args.fn)
+
+
+class TestPSO:
+    def test_converges_on_sphere(self):
+        """Global-best PSO must find the minimum of a shifted sphere."""
+        lo = np.full(4, -5.0)
+        hi = np.full(4, 5.0)
+        target = np.array([1.0, -2.0, 0.5, 3.0])
+
+        def fitness(X):
+            return np.sum((X - target) ** 2, axis=1)
+
+        res = global_best_pso(fitness, n_particles=20, iters=60, seed=0,
+                              bounds=(lo, hi))
+        assert res.best_cost < 1e-2
+        np.testing.assert_allclose(res.best_position, target, atol=0.2)
+
+    def test_cost_history_monotone(self):
+        def fitness(X):
+            return np.sum(X ** 2, axis=1)
+
+        res = global_best_pso(fitness, n_particles=8, iters=20, seed=1,
+                              bounds=(np.full(3, -1.0), np.full(3, 1.0)))
+        h = np.asarray(res.cost_history)
+        assert (np.diff(h) <= 1e-12).all()  # gbest never regresses
+
+    def test_respects_bounds(self):
+        seen = []
+
+        def fitness(X):
+            seen.append(X.copy())
+            return np.sum(X, axis=1)
+
+        global_best_pso(fitness, n_particles=6, iters=10, seed=2,
+                        bounds=(np.zeros(2), np.ones(2)))
+        allx = np.concatenate(seen)
+        assert (allx >= 0).all() and (allx <= 1).all()
+
+    def test_decode_particle_always_valid(self):
+        """Every point in the search box must decode to a buildable config
+        (the reference sketch crashed on most of its own space)."""
+        from vitiq.config import ModelConfig
+        rng = np.random.default_rng(3)
+        for _ in range(200):
+            p = rng.uniform(MIN_BOUNDS, MAX_BOUNDS)
+            hp = decode_particle(p)
+            assert hp["d_model"] % hp["n_head"] == 0
+            if hp["arm"] == "vit":
+                assert 32 % hp["patch_size"] == 0 and 64 % hp["patch_size"] == 0
+                ModelConfig(arm="vit", num_classes=3, d_model=hp["d_model"],
+                            n_head=hp["n_head"], n_layers=hp["n_layers"],
+                            ffn_hidden=hp["ffn_hidden"], drop_prob=hp["drop_prob"],
+                            patch_size=hp["patch_size"]).validate()
+            else:
+                assert 1024 % hp["segment_size"] == 0
+                ModelConfig(arm="rawiq", num_classes=3, d_model=hp["d_model"],
+                            n_head=hp["n_head"], n_layers=hp["n_layers"],
+                            ffn_hidden=hp["ffn_hidden"], drop_prob=hp["drop_prob"],
+                            segment_size=hp["segment_size"]).validate()
+
+    def test_search_space_matches_reference_sketch(self):
+        np.testing.assert_array_equal(MIN_BOUNDS, [0, 32, 2, 1, 64, 0.0, 1e-5, 16, 4])
+        np.testing.assert_array_equal(MAX_BOUNDS, [1, 512, 16, 8, 2048, 0.4, 5e-3, 128, 64])
+
+
+class TestViz:
+    def test_synthetic_figures_written(self, tmp_path):
+        from vitiq.viz import run_visualization
+
+        written = run_visualization(output_dir=str(tmp_path), modulations=["BPSK", "QPSK"],
+                                    num_samples=1, create_overview=True, dpi=60)
+        assert len(written) == 3
+        for p in written:
+            assert p.exists() and p.stat().st_size > 1000
+
+    def test_sps2_pipeline_figure(self, tmp_path):
+        from vitiq.viz import run_visualization
+
+        written = run_visualization(output_dir=str(tmp_path), modulations=["QPSK"],
+                                    num_samples=1, dpi=60, sps=2)
+        assert written[0].exists()
+
+    def test_unknown_synthetic_modulation(self, tmp_path):
+        from vitiq.viz import run_visualization
+
+        with pytest.raises(ValueError):
+            run_visualization(output_dir=str(tmp_path), modulations=["FM"])
+
+
+class TestBenchEntry:
+    def test_bench_fused_infer_smoke(self):
+        from vitiq.bench import bench_fused_infer
+
+        res = bench_fused_infer("rawiq", batch_size=16, steps=2, numerics="reference")
+        assert res["value"] > 0
+        assert res["unit"] == "frames/s"
+        assert "p50_latency_ms" in res
+
+    def test_graft_entry(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+        import jax
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (64, 19)
+
+    def test_graft_dryrun_8(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)

@@ -1,0 +1,183 @@
+"""Throughput / latency benchmarks.
+
+Headline metric (BASELINE.json): classified IQ frames/sec/chip with the
+END-TO-END fused path — z-score normalize + reshape/patchify + encoder + head
+in ONE jit program, input = raw [B, 1024, 2] frames already resident in HBM
+(storage decoupled from compute, SURVEY.md §7.3). The reference's only
+published throughput is ~2,330 frames/s train @ bs=256 on an unspecified CUDA
+GPU (ref README.md:458-473); the north-star target is 1M frames/s/chip.
+
+All benchmarks time with block_until_ready after an untimed warmup (first call
+compiles), and report p50 over repeated timed windows.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitiq.config import ModelConfig
+from vitiq.dsp import preprocess_batch_rawiq, preprocess_batch_vit
+from vitiq.dsp.filtering import matched_filter_batch
+from vitiq.models import init_amc_params, make_forward
+
+FLAGSHIP_STATS = {"i_mean": 0.0, "i_std": 1.0, "q_mean": 0.0, "q_std": 1.0}
+REFERENCE_GPU_TRAIN_FPS = 2330.0  # README.md:458-473 illustrative number
+TARGET_FPS = 1_000_000.0  # BASELINE.json north star
+
+
+def flagship_vit_config(numerics: str = "tpu") -> ModelConfig:
+    """The reference's production ViT arm (d128/L6/H8, patch 4, 19 classes)."""
+    return ModelConfig(arm="vit", num_classes=19, d_model=128, n_head=8,
+                       n_layers=6, ffn_hidden=512, drop_prob=0.1, patch_size=4,
+                       numerics=numerics)
+
+
+def flagship_rawiq_config(numerics: str = "tpu") -> ModelConfig:
+    return ModelConfig(arm="rawiq", num_classes=19, d_model=128, n_head=8,
+                       n_layers=6, ffn_hidden=1024, drop_prob=0.2,
+                       segment_size=16, numerics=numerics)
+
+
+def _default_batch() -> int:
+    return 8192 if jax.default_backend() != "cpu" else 256
+
+
+def _time_fn(fn: Callable, args, steps: int, warmup: int = 3) -> Dict[str, float]:
+    """Median + best wall time per call over `steps` timed calls."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    return {"p50_s": float(np.median(times)), "best_s": float(times.min()),
+            "mean_s": float(times.mean())}
+
+
+def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
+                      steps: int = 30, numerics: str = "tpu") -> Dict:
+    """End-to-end DSP(normalize)+model inference frames/sec/chip."""
+    batch_size = batch_size or _default_batch()
+    cfg = flagship_vit_config(numerics) if arm == "vit" else flagship_rawiq_config(numerics)
+    params = init_amc_params(jax.random.PRNGKey(0), cfg)
+    fwd = make_forward(cfg)
+    if arm == "vit":
+        pre = lambda x: preprocess_batch_vit(x, FLAGSHIP_STATS)
+    else:
+        pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
+
+    @jax.jit
+    def infer(params, x):
+        return fwd(params, pre(x), train=False).argmax(axis=-1)
+
+    x = jax.device_put(
+        jnp.asarray(np.random.default_rng(0).standard_normal(
+            (batch_size, cfg.seq_length, 2)), jnp.float32)
+    )
+    t = _time_fn(infer, (params, x), steps)
+    fps = batch_size / t["p50_s"]
+    return {
+        "metric": f"iq_frames_per_sec_per_chip_{arm}",
+        "value": fps,
+        "unit": "frames/s",
+        "batch_size": batch_size,
+        "p50_latency_ms": t["p50_s"] * 1e3,
+        "best_latency_ms": t["best_s"] * 1e3,
+        "backend": jax.default_backend(),
+        "numerics": numerics,
+    }
+
+
+def bench_train_step(arm: str = "vit", batch_size: Optional[int] = None,
+                     steps: int = 20, numerics: str = "tpu") -> Dict:
+    """Full fused train-step frames/sec/chip (fwd+bwd+AdamW)."""
+    from vitiq.config import TrainConfig
+    from vitiq.train.loop import make_train_step
+    from vitiq.train.optim import create_train_state, make_optimizer
+
+    batch_size = batch_size or max(_default_batch() // 4, 64)
+    cfg = flagship_vit_config(numerics) if arm == "vit" else flagship_rawiq_config(numerics)
+    tcfg = TrainConfig(batch_size=batch_size)
+    params = init_amc_params(jax.random.PRNGKey(0), cfg)
+    fwd = make_forward(cfg)
+    pre = (lambda x: preprocess_batch_vit(x, FLAGSHIP_STATS)) if arm == "vit" else (
+        lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS))
+    tx = make_optimizer(tcfg)
+    state = create_train_state(params, tcfg)
+    step = make_train_step(fwd, tx, tcfg.label_smoothing, pre)
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch_size, cfg.seq_length, 2)), jnp.float32)
+    y = jnp.zeros((batch_size,), jnp.int32)
+
+    # donated state: rebuild fresh per timing via re-binding returned state
+    state, _ = step(state, x, y, rng)  # compile + donate once
+    jax.block_until_ready(state)
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        state, metrics = step(state, x, y, rng)
+        jax.block_until_ready(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    return {
+        "metric": f"train_frames_per_sec_per_chip_{arm}",
+        "value": batch_size / p50,
+        "unit": "frames/s",
+        "batch_size": batch_size,
+        "p50_step_ms": p50 * 1e3,
+        "vs_reference_gpu": (batch_size / p50) / REFERENCE_GPU_TRAIN_FPS,
+        "backend": jax.default_backend(),
+    }
+
+
+def bench_dsp_frontend(batch_size: Optional[int] = None, steps: int = 30,
+                       sps: int = 2) -> Dict:
+    """Matched-filter front-end GB/s (RRC grouped conv over batched frames)."""
+    batch_size = batch_size or _default_batch()
+    frame_len = 1024
+
+    @jax.jit
+    def frontend(x):
+        return matched_filter_batch(x, sps=sps)
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch_size, frame_len, 2)), jnp.float32)
+    t = _time_fn(frontend, (x,), steps)
+    bytes_moved = 2 * batch_size * frame_len * 2 * 4  # read + write f32
+    return {
+        "metric": "dsp_frontend_gbps",
+        "value": bytes_moved / t["p50_s"] / 1e9,
+        "unit": "GB/s",
+        "batch_size": batch_size,
+        "p50_latency_ms": t["p50_s"] * 1e3,
+        "backend": jax.default_backend(),
+    }
+
+
+def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = None,
+                   steps: int = 30) -> Dict:
+    if which == "fused_vit_infer":
+        return bench_fused_infer("vit", batch_size, steps)
+    if which == "rawiq_infer":
+        return bench_fused_infer("rawiq", batch_size, steps)
+    if which == "train_step":
+        return bench_train_step("vit", batch_size, steps)
+    if which == "dsp_frontend":
+        return bench_dsp_frontend(batch_size, steps)
+    if which == "all":
+        return {
+            "fused_vit_infer": bench_fused_infer("vit", batch_size, steps),
+            "rawiq_infer": bench_fused_infer("rawiq", batch_size, steps),
+            "train_step": bench_train_step("vit", batch_size, steps),
+            "dsp_frontend": bench_dsp_frontend(batch_size, steps),
+        }
+    raise ValueError(f"unknown benchmark {which!r}")

@@ -1,0 +1,220 @@
+"""Command-line interface: train / evaluate / compare / visualize / sweep / bench.
+
+One CLI replaces the reference's five separate entry scripts (per-arm
+train.py / evaluate.py, compare_models.py, plot_preprocessing_signal.py and
+the broken hyperparameter_tuning.py). Flag names mirror the reference's
+argparse surface (ref: ViT/training/train.py:121-144,
+transformer_rawIQ/training/train.py:170-199) so commands translate 1:1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from vitiq.config import ExperimentConfig
+
+
+def _add_train_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--arm", choices=["vit", "rawiq"], default="vit")
+    p.add_argument("--config", type=str, help="Path to experiment config JSON")
+    # data
+    p.add_argument("--source", choices=["synthetic", "hdf5"], default=None)
+    p.add_argument("--file_path", type=str, help="Path to HDF5 data file")
+    p.add_argument("--json_path", type=str, help="Path to classes JSON file")
+    # training
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--num_epochs", type=int)
+    p.add_argument("--learning_rate", type=float)
+    p.add_argument("--weight_decay", type=float)
+    p.add_argument("--grad_clip_max_norm", type=float)
+    p.add_argument("--data_parallel", type=int)
+    p.add_argument("--model_parallel", type=int)
+    # model
+    p.add_argument("--d_model", type=int)
+    p.add_argument("--n_head", type=int)
+    p.add_argument("--n_layers", type=int)
+    p.add_argument("--ffn_hidden", type=int)
+    p.add_argument("--drop_prob", type=float)
+    p.add_argument("--patch_size", type=int)
+    p.add_argument("--segment_size", type=int)
+    p.add_argument("--embedding_type", choices=["conv1d", "segment"])
+    p.add_argument("--numerics", choices=["reference", "tpu"])
+    # other
+    p.add_argument("--resume", type=str, help="Path to checkpoint to resume from")
+    p.add_argument("--experiment_name", type=str)
+    p.add_argument("--no_validate_config", action="store_true")
+
+
+def _config_from_args(args) -> ExperimentConfig:
+    if args.config:
+        cfg = ExperimentConfig.from_json(args.config)
+    elif args.arm == "vit":
+        cfg = ExperimentConfig.vit_reference()
+    else:
+        cfg = ExperimentConfig.rawiq_reference()
+    if args.arm:
+        cfg.model.arm = args.arm
+        cfg.model.__post_init__()  # re-derive in_channels for the arm
+    overrides = {
+        "data.source": args.source,
+        "data.file_path": args.file_path,
+        "data.json_path": args.json_path,
+        "train.batch_size": args.batch_size,
+        "train.num_epochs": args.num_epochs,
+        "train.learning_rate": args.learning_rate,
+        "train.weight_decay": args.weight_decay,
+        "train.grad_clip_max_norm": args.grad_clip_max_norm,
+        "train.data_parallel": args.data_parallel,
+        "train.model_parallel": args.model_parallel,
+        "model.d_model": args.d_model,
+        "model.n_head": args.n_head,
+        "model.n_layers": args.n_layers,
+        "model.ffn_hidden": args.ffn_hidden,
+        "model.drop_prob": args.drop_prob,
+        "model.patch_size": args.patch_size,
+        "model.segment_size": args.segment_size,
+        "model.embedding_type": args.embedding_type,
+        "model.numerics": args.numerics,
+        "experiment_name": args.experiment_name,
+    }
+    from vitiq.config import _apply_overrides
+    cfg = _apply_overrides(cfg, overrides)
+    if cfg.data.source == "synthetic":
+        # synthetic class count drives the head size
+        cfg.model.num_classes = len(cfg.data.synthetic_classes)
+    if not args.no_validate_config:
+        cfg.validate(check_paths=cfg.data.source == "hdf5")
+    return cfg
+
+
+def cmd_train(args) -> int:
+    from vitiq.runner import run_training
+
+    cfg = _config_from_args(args)
+    summary = run_training(cfg, resume=args.resume)
+    print(json.dumps({k: v for k, v in summary.items() if k != "history"},
+                     indent=2, default=float))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from vitiq.runner import run_evaluation
+
+    res = run_evaluation(args.checkpoint, dataset=args.dataset,
+                         batch_size=args.batch_size, config_path=args.config)
+    print(f"overall accuracy: {res['overall_accuracy'] * 100:.2f}%")
+    for snr, acc in sorted(res["snr_accuracies"].items()):
+        print(f"  SNR {snr:+3d} dB: {acc * 100:.2f}%")
+    return 0
+
+
+def cmd_compare(args) -> int:
+    from vitiq.eval import ModelComparison
+
+    mc = ModelComparison(args.vit_report, args.transformer_report,
+                         output_dir=args.output_dir)
+    mc.run_comparison()
+    return 0
+
+
+def cmd_visualize(args) -> int:
+    from vitiq.viz import run_visualization
+
+    run_visualization(
+        file_path=args.file_path, json_path=args.json_path,
+        output_dir=args.output_dir, modulations=args.modulations,
+        num_samples=args.num_samples, create_overview=args.create_overview,
+        dpi=args.dpi, sps=args.sps,
+    )
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    from vitiq.sweep import run_pso_sweep
+
+    best = run_pso_sweep(
+        n_particles=args.n_particles, iters=args.iters, seed=args.seed,
+        train_steps=args.train_steps, source=args.source,
+        file_path=args.file_path, json_path=args.json_path,
+        output_path=args.output,
+    )
+    print(json.dumps(best, indent=2, default=float))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from vitiq.bench import run_benchmarks
+
+    result = run_benchmarks(which=args.which, batch_size=args.batch_size,
+                            steps=args.steps)
+    print(json.dumps(result, default=float))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="vitiq", description="TPU-native AMC framework (ViT vs raw-IQ)"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train", help="Train an AMC transformer")
+    _add_train_args(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("evaluate", help="Evaluate a trained experiment")
+    p.add_argument("--checkpoint", required=True,
+                   help="Experiment directory (containing config.json + model_best)")
+    p.add_argument("--dataset", choices=["train", "valid", "test"], default="test")
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--config", type=str, help="Override config JSON path")
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("compare", help="Compare two classification reports")
+    p.add_argument("--vit_report", required=True)
+    p.add_argument("--transformer_report", required=True)
+    p.add_argument("--output_dir", default="comparison_results")
+    p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser("visualize", help="Preprocessing visualization figures")
+    p.add_argument("--file_path", type=str, default=None,
+                   help="HDF5 path (omit for synthetic data)")
+    p.add_argument("--json_path", type=str, default=None)
+    p.add_argument("--output_dir", default="visualization_results")
+    p.add_argument("--modulations", nargs="+", default=None)
+    p.add_argument("--num_samples", type=int, default=1)
+    p.add_argument("--create_overview", action="store_true")
+    p.add_argument("--dpi", type=int, default=150)
+    p.add_argument("--sps", type=int, default=1)
+    p.set_defaults(fn=cmd_visualize)
+
+    p = sub.add_parser("sweep", help="PSO hyperparameter search")
+    p.add_argument("--n_particles", type=int, default=18)
+    p.add_argument("--iters", type=int, default=25)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--train_steps", type=int, default=30)
+    p.add_argument("--source", choices=["synthetic", "hdf5"], default="synthetic")
+    p.add_argument("--file_path", type=str)
+    p.add_argument("--json_path", type=str)
+    p.add_argument("--output", type=str, default="sweep_results.json")
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("bench", help="Throughput / latency benchmarks")
+    p.add_argument("--which", default="fused_vit_infer",
+                   choices=["fused_vit_infer", "rawiq_infer", "train_step",
+                            "dsp_frontend", "all"])
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--steps", type=int, default=30)
+    p.set_defaults(fn=cmd_bench)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

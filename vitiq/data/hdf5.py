@@ -1,0 +1,188 @@
+"""HDF5 dataset source and high-throughput host ingestion.
+
+The reference feeds the GPU through 6 forked DataLoader workers, each holding
+its own HDF5 handle and normalizing one frame at a time
+(ref: ViT/dataloader/dataset.py:20-241). The TPU-native pipeline instead:
+
+  * keeps ONE read path on the host: shuffled epoch order -> sorted chunked
+    HDF5 reads (h5py fancy-index reads are fastest in ascending order) ->
+    whole raw [B, L, 2] batches;
+  * moves normalization/reshaping INTO the jitted model step (fused,
+    vitiq.dsp.frontend.preprocess_batch_*), so the host only moves raw bytes;
+  * overlaps read + H2D with a background prefetch thread
+    (vitiq.data.pipeline.Prefetcher) instead of process forks — no fork-safety
+    machinery needed at all;
+  * optionally packs the split to memory-mapped .npy shards
+    (`pack_split_to_npy`) — sequential-read friendly and ~zero-copy on reuse,
+    the "pre-converted shards" path SURVEY.md §7.3 calls for at 1M frames/s.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from vitiq.config import DataConfig
+from vitiq.data.splits import SplitIndices, load_dataset_metadata, split_labels
+from vitiq.data.stats import stats_from_hdf5
+
+
+class HDF5DataSource:
+    """Deterministic facade over a RadioML-style HDF5 file
+    (X:(N,L,2) float32, Y:(N,K) one-hot, Z:(N,1) SNR dB)."""
+
+    def __init__(self, file_path: str, json_path: str):
+        self.file_path = str(file_path)
+        self.json_path = str(json_path)
+        self._file = None
+        (self.y_strings, self.z, self.available_modulations, self.total_samples
+         ) = load_dataset_metadata(self.file_path, self.json_path)
+
+    # -- lifecycle ---------------------------------------------------------
+    def _x(self):
+        import h5py
+
+        if self._file is None:
+            self._file = h5py.File(self.file_path, "r")
+        return self._file["X"]
+
+    def close(self):
+        if self._file is not None:
+            try:
+                self._file.close()
+            finally:
+                self._file = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- splits / stats ------------------------------------------------------
+    def split(self, cfg: DataConfig) -> SplitIndices:
+        return split_labels(
+            self.y_strings, self.z, cfg.target_modulations,
+            cfg.train_size, cfg.valid_size, cfg.test_size, cfg.split_seed,
+        )
+
+    def normalization_stats(self, train_indices: np.ndarray, cfg: DataConfig) -> Dict[str, float]:
+        return stats_from_hdf5(self.file_path, train_indices, seed=cfg.norm_seed,
+                               num_samples=cfg.norm_sample_count)
+
+    def labels_for(self, indices: np.ndarray, label_map: Dict[str, int]) -> np.ndarray:
+        return np.array([label_map[s] for s in self.y_strings[indices]], dtype=np.int32)
+
+    def snrs_for(self, indices: np.ndarray) -> np.ndarray:
+        return self.z[indices].astype(np.float32)
+
+    # -- reads ---------------------------------------------------------------
+    def read_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Raw [n, L, 2] frames for arbitrary row order (duplicates allowed).
+        Reads unique rows in sorted order (h5py requirement + locality), then
+        scatters back to the requested order."""
+        rows = np.asarray(rows)
+        unique_rows, inverse = np.unique(rows, return_inverse=True)
+        data = self._x()[unique_rows, ...]
+        return data[inverse]
+
+    def load_split_arrays(self, indices: np.ndarray, label_map: Dict[str, int],
+                          chunk_size: int = 8192) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Materialize a whole split (X, y, snr) — for splits that fit in RAM."""
+        idx_sorted = np.sort(np.asarray(indices))
+        xs = [self._x()[idx_sorted[i:i + chunk_size], ...]
+              for i in range(0, len(idx_sorted), chunk_size)]
+        x = np.concatenate(xs) if xs else np.empty((0,), np.float32)
+        return x, self.labels_for(idx_sorted, label_map), self.snrs_for(idx_sorted)
+
+    def batch_stream(
+        self,
+        indices: np.ndarray,
+        label_map: Dict[str, int],
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        read_chunk: int = 4096,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """One epoch of (x, y, snr) batches.
+
+        Epoch shuffle happens at read_chunk granularity + in-chunk permutation:
+        chunks of the (shuffled) index list are read sorted for IO speed, then
+        shuffled within the buffer — the standard streaming-shuffle tradeoff
+        replacing the reference's fully random per-row worker reads.
+        """
+        rng = np.random.default_rng(seed)
+        idx = np.asarray(indices)
+        if shuffle:
+            idx = idx[rng.permutation(len(idx))]
+        for start in range(0, len(idx), read_chunk):
+            chunk_rows = idx[start:start + read_chunk]
+            x = self.read_rows(np.asarray(chunk_rows))
+            y = self.labels_for(chunk_rows, label_map)
+            z = self.snrs_for(chunk_rows)
+            if shuffle:
+                perm = rng.permutation(len(chunk_rows))
+                x, y, z = x[perm], y[perm], z[perm]
+            for b in range(0, len(x) - (batch_size - 1 if drop_last else 0), batch_size):
+                yield x[b:b + batch_size], y[b:b + batch_size], z[b:b + batch_size]
+
+
+def pack_split_to_npy(
+    source: HDF5DataSource,
+    indices: np.ndarray,
+    label_map: Dict[str, int],
+    out_dir: str | Path,
+    shard_rows: int = 65536,
+) -> Path:
+    """Pre-convert a split into memory-mapped .npy shards + meta.json.
+
+    Sequential mmap reads of packed shards sustain far higher throughput than
+    h5py fancy indexing; this is the storage format for the 1M frames/s
+    ingestion target (SURVEY.md §7.3)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    idx_sorted = np.sort(np.asarray(indices))
+    shards = []
+    for s, start in enumerate(range(0, len(idx_sorted), shard_rows)):
+        rows = idx_sorted[start:start + shard_rows]
+        np.save(out_dir / f"x_{s:05d}.npy", source.read_rows(rows))
+        shards.append(len(rows))
+    np.save(out_dir / "y.npy", source.labels_for(idx_sorted, label_map))
+    np.save(out_dir / "z.npy", source.snrs_for(idx_sorted))
+    (out_dir / "meta.json").write_text(json.dumps({
+        "num_rows": int(len(idx_sorted)),
+        "shard_rows": shard_rows,
+        "shards": shards,
+        "label_map": label_map,
+    }))
+    return out_dir
+
+
+class PackedDataSource:
+    """Memory-mapped reader for `pack_split_to_npy` output."""
+
+    def __init__(self, packed_dir: str | Path):
+        self.dir = Path(packed_dir)
+        meta = json.loads((self.dir / "meta.json").read_text())
+        self.num_rows: int = meta["num_rows"]
+        self.shard_rows: int = meta["shard_rows"]
+        self.label_map: Dict[str, int] = meta["label_map"]
+        self.y = np.load(self.dir / "y.npy")
+        self.z = np.load(self.dir / "z.npy")
+        self._shards = [
+            np.load(p, mmap_mode="r") for p in sorted(self.dir.glob("x_*.npy"))
+        ]
+
+    def read_rows(self, rows: np.ndarray) -> np.ndarray:
+        rows = np.asarray(rows)
+        out = np.empty((len(rows),) + self._shards[0].shape[1:], self._shards[0].dtype)
+        shard_ids = rows // self.shard_rows
+        offsets = rows % self.shard_rows
+        for sid in np.unique(shard_ids):
+            m = shard_ids == sid
+            out[m] = self._shards[sid][offsets[m]]
+        return out

@@ -116,26 +116,24 @@ class SyntheticAMCDataset:
                 )
         rng = np.random.default_rng(self.seed)
         n = len(self.classes) * self.frames_per_class
-        X = np.empty((n, self.frame_len, 2), dtype=np.float32)
+        F, L = self.frames_per_class, self.frame_len
+        X = np.empty((n, L, 2), dtype=np.float32)
         Y = np.empty(n, dtype=np.int32)
         Z = np.empty(n, dtype=np.float32)
-        row = 0
         for label, mod in enumerate(self.classes):
-            for _ in range(self.frames_per_class):
-                snr = float(rng.choice(np.asarray(self.snrs_db)))
-                syms = _symbols(mod, self.frame_len, rng)
-                syms = syms * np.exp(1j * rng.uniform(0, 2 * np.pi))  # random phase
-                noise_power = 1.0 / (10.0 ** (snr / 10.0))
-                noise = np.sqrt(noise_power / 2) * (
-                    rng.standard_normal(self.frame_len)
-                    + 1j * rng.standard_normal(self.frame_len)
-                )
-                sig = syms + noise
-                X[row, :, 0] = sig.real
-                X[row, :, 1] = sig.imag
-                Y[row] = label
-                Z[row] = snr
-                row += 1
+            constellation = _CONSTELLATIONS[mod]
+            syms = constellation[rng.integers(0, len(constellation), (F, L))]
+            syms = syms * np.exp(1j * rng.uniform(0, 2 * np.pi, (F, 1)))  # random phase
+            snr = rng.choice(np.asarray(self.snrs_db, np.float32), F)
+            noise_scale = np.sqrt(10.0 ** (-snr / 10.0) / 2.0)[:, None]
+            sig = syms + noise_scale * (
+                rng.standard_normal((F, L)) + 1j * rng.standard_normal((F, L))
+            )
+            rows = slice(label * F, (label + 1) * F)
+            X[rows, :, 0] = sig.real
+            X[rows, :, 1] = sig.imag
+            Y[rows] = label
+            Z[rows] = snr
         perm = rng.permutation(n)
         self.X, self.Y, self.Z = X[perm], Y[perm], Z[perm]
 

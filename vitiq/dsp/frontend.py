@@ -126,3 +126,19 @@ def preprocess_batch_rawiq(x: jnp.ndarray, stats: Dict[str, float]) -> jnp.ndarr
     mean = jnp.asarray([stats["i_mean"], stats["q_mean"]], x.dtype)
     std = jnp.asarray([stats["i_std"], stats["q_std"]], x.dtype)
     return ((x - mean) / std).transpose(0, 2, 1)
+
+
+def preprocess_batch_amplitude_phase(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, L, 2] raw frames -> [B, 2, L] (amplitude/amp_max, phase/pi) features.
+
+    The multi-domain feature transform from the reference's MDF-NET workload
+    (ref: ViT/MDF_NET.ipynb cell 7: amplitude normalized by its per-frame max,
+    phase by pi). The external CNN-LSTM model that consumed it is missing from
+    the reference tree (SURVEY.md §2.7) — here the transform feeds the shared
+    rawIQ encoder instead, giving modulation-order cues (|x|, arg x) that are
+    first-order in the features rather than second-order in raw I/Q."""
+    i_sig, q_sig = x[..., 0], x[..., 1]
+    amp = jnp.sqrt(i_sig * i_sig + q_sig * q_sig)
+    amp_max = jnp.maximum(jnp.max(amp, axis=-1, keepdims=True), 1e-8)
+    phase = jnp.arctan2(q_sig, i_sig) / jnp.pi
+    return jnp.stack([amp / amp_max, phase], axis=1)

@@ -1,0 +1,8 @@
+from vitiq.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated_sharding,
+    shard_batch,
+    shard_params,
+)

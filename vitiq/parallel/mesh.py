@@ -1,0 +1,110 @@
+"""Device mesh and sharding rules.
+
+The reference is strictly single-device (no DDP/FSDP/NCCL anywhere — SURVEY.md
+§2.9); its only parallel axis is the batch. The TPU-native equivalent is a 2-D
+``jax.sharding.Mesh`` with axes:
+
+  * ``data``  — batch dimension sharded across chips; gradient all-reduce rides
+    ICI implicitly through jit's partitioner (psum of the mean loss gradient).
+  * ``model`` — megatron-style tensor parallelism for the attention/FFN
+    projections: QKV and FFN-in kernels column-sharded (head / hidden axis),
+    output projections row-sharded so each layer needs exactly one
+    reduce-scatter/all-reduce pair, inserted by XLA from the sharding
+    annotations.
+
+At the reference's 1-5M-parameter scale TP is never required (SURVEY.md §2.9
+recommends exposing it anyway), so ``model=1`` is the default and every rule
+degrades to full replication.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a (data, model) mesh. Defaults to all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // model
+    n = data * model
+    if n > len(devices):
+        raise ValueError(f"mesh {data}x{model} needs {n} devices, have {len(devices)}")
+    if n == len(devices):
+        mesh_devices = mesh_utils.create_device_mesh((data, model), devices=devices)
+    else:
+        mesh_devices = np.array(devices[:n]).reshape(data, model)
+    return Mesh(mesh_devices, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis split over 'data'; feature axes replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch (pytree of arrays with a leading batch axis) as
+    global arrays sharded over the 'data' axis."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+# --------------------------------------------------------------------------
+# tensor-parallel parameter layout
+# --------------------------------------------------------------------------
+
+def _spec_for(path: str, ndim: int) -> P:
+    """Megatron TP rules keyed on the parameter's path within the model tree.
+
+    Column-parallel (shard output features): w_q/w_k/w_v kernels and ffn
+    linear1 — the per-head / per-hidden slices are independent.
+    Row-parallel (shard input features): w_concat and ffn linear2 — their
+    matmuls contract over the sharded axis, producing the layer's single
+    all-reduce.
+    Everything else (embeddings, LayerNorms, CLS, head) is replicated.
+    """
+    col = ("w_q", "w_k", "w_v", "linear1")
+    row = ("w_concat", "linear2")
+    parts = path.split("/")
+    if len(parts) >= 2:
+        owner, leaf = parts[-2], parts[-1]
+        if owner in col:
+            return P(None, "model") if leaf == "kernel" else P("model")
+        if owner in row:
+            # kernel [in, out]: contract over sharded 'in'; bias replicated
+            return P("model", None) if leaf == "kernel" else P()
+    return P()
+
+
+def param_shardings(mesh: Mesh, params):
+    """Pytree of NamedShardings matching `params` (TP over 'model', replicated
+    over 'data')."""
+
+    def walk(tree, prefix):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{prefix}/{k}") for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            out = [walk(v, f"{prefix}/{i}") for i, v in enumerate(tree)]
+            return type(tree)(out) if isinstance(tree, tuple) else out
+        return NamedSharding(mesh, _spec_for(prefix, tree.ndim))
+
+    return walk(params, "")
+
+
+def shard_params(params, mesh: Mesh):
+    """Place parameters on the mesh according to the TP rules."""
+    shardings = param_shardings(mesh, params)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

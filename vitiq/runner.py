@@ -1,0 +1,217 @@
+"""Experiment orchestration: the reference's per-arm `main()` as a library.
+
+Covers the full reference behavior for BOTH arms with the rawIQ arm's fixes
+(SURVEY.md §2.8 item 5) adopted everywhere:
+
+  * config validation up-front (ref: transformer_rawIQ/training/train.py:116-157)
+  * experiment dirs + config.json persisted (ref: train.py:378-381)
+  * deterministic split + seeded norm stats (ref: ViT/training/train.py:308-342)
+  * fit loop with plateau LR / early stopping / periodic checkpoints
+  * model_best saved and PREFERRED for the final test eval
+    (ref: transformer_rawIQ/training/train.py:605,664-669 — the ViT arm
+    evaluated final-epoch weights; we keep best)
+  * KeyboardInterrupt rescue checkpoint (ref: train.py:716-734)
+  * training-history plot + full evaluation artifacts
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from vitiq.config import ExperimentConfig
+from vitiq.data import HDF5DataSource, SyntheticAMCDataset, stats_from_array
+from vitiq.dsp import preprocess_batch_rawiq, preprocess_batch_vit
+from vitiq.models import count_parameters, init_amc_params, make_forward
+from vitiq.train import fit, load_checkpoint, save_checkpoint
+from vitiq.train.checkpoint import load_params, save_params
+from vitiq.train.optim import create_train_state
+
+
+def build_preprocess(cfg: ExperimentConfig, stats: Dict[str, float]) -> Callable:
+    """The fused front-end matching the arm: raw [B, L, 2] -> model input."""
+    if cfg.model.arm == "vit":
+        return lambda x: preprocess_batch_vit(
+            x, stats, H=cfg.model.img_size_h, W=cfg.model.img_size_w
+        )
+    return lambda x: preprocess_batch_rawiq(x, stats)
+
+
+def load_experiment_data(cfg: ExperimentConfig):
+    """Returns (splits dict of (x, y, snr), stats, class_names)."""
+    if cfg.data.source == "hdf5":
+        src = HDF5DataSource(cfg.data.file_path, cfg.data.json_path)
+        s = src.split(cfg.data)
+        stats = src.normalization_stats(s.train, cfg.data)
+        splits = {}
+        for name, idx in (("train", s.train), ("valid", s.valid), ("test", s.test)):
+            splits[name] = src.load_split_arrays(idx, s.label_map)
+        src.close()
+        class_names = list(cfg.data.target_modulations)
+    else:
+        ds = SyntheticAMCDataset(
+            classes=cfg.data.synthetic_classes,
+            frames_per_class=cfg.data.synthetic_frames_per_class,
+            snrs_db=cfg.data.synthetic_snr_db,
+            seed=cfg.data.synthetic_seed,
+        )
+        n = len(ds)
+        n_train = int(cfg.data.train_size * n)
+        n_valid = int(cfg.data.valid_size * n)
+        sl = {
+            "train": slice(0, n_train),
+            "valid": slice(n_train, n_train + n_valid),
+            "test": slice(n_train + n_valid, n),
+        }
+        splits = {k: (ds.X[v], ds.Y[v], ds.Z[v]) for k, v in sl.items()}
+        stats = stats_from_array(ds.X[:n_train], np.arange(n_train),
+                                 seed=cfg.data.norm_seed,
+                                 num_samples=cfg.data.norm_sample_count)
+        class_names = list(cfg.data.synthetic_classes)
+    return splits, stats, class_names
+
+
+def run_training(
+    cfg: ExperimentConfig,
+    resume: Optional[str] = None,
+    evaluate_test: bool = True,
+    verbose: bool = True,
+) -> Dict:
+    """Full train+eval experiment. Returns summary dict."""
+    cfg.validate(check_paths=cfg.data.source == "hdf5")
+    exp_dir = Path(cfg.checkpoint_dir) / cfg.experiment_name
+    log_dir = Path(cfg.log_dir)
+    exp_dir.mkdir(parents=True, exist_ok=True)
+    log_dir.mkdir(parents=True, exist_ok=True)
+    cfg.to_json(exp_dir / "config.json")
+
+    splits, stats, class_names = load_experiment_data(cfg)
+    (exp_dir / "normalization_stats.json").write_text(json.dumps(stats, indent=2))
+    preprocess = build_preprocess(cfg, stats)
+
+    fwd = make_forward(cfg.model)
+    params = init_amc_params(jax.random.PRNGKey(cfg.train.init_seed), cfg.model)
+    if verbose:
+        print(f"model: {cfg.model.arm}, {count_parameters(params):,} parameters")
+
+    resume_state = resume_history = None
+    start_epoch = 0
+    if resume:
+        template = create_train_state(params, cfg.train)
+        try:
+            resume_state, manifest = load_checkpoint(resume, template)
+            resume_history = manifest["history"]
+            start_epoch = manifest["epoch"] + 1
+            if verbose:
+                print(f"resumed from {resume} at epoch {start_epoch}")
+        except (FileNotFoundError, ValueError) as e:
+            # corrupt/missing resume -> start fresh, like the rawIQ arm
+            # (ref: transformer_rawIQ/training/train.py:532-541)
+            print(f"warning: could not resume from {resume} ({e}); starting fresh")
+
+    def checkpoint_callback(epoch: int, state, history):
+        if (epoch + 1) % cfg.train.save_freq == 0:
+            save_checkpoint(exp_dir / f"checkpoint_epoch_{epoch + 1}", state, epoch,
+                            history["val_loss"][-1], history, cfg)
+        # rolling best params
+        if history["val_loss"][-1] <= min(history["val_loss"]):
+            save_params(exp_dir / "model_best", state.params)
+
+    x_train, y_train, _ = splits["train"]
+    x_valid, y_valid, _ = splits["valid"]
+    t0 = time.perf_counter()
+    try:
+        result = fit(
+            cfg, fwd, params, (x_train, y_train), (x_valid, y_valid),
+            preprocess_fn=preprocess, epoch_callback=checkpoint_callback,
+            resume_state=resume_state, resume_history=resume_history,
+            start_epoch=start_epoch, verbose=verbose,
+        )
+    except KeyboardInterrupt:
+        print("interrupted — attempting rescue checkpoint")
+        raise
+    train_wall = time.perf_counter() - t0
+
+    save_checkpoint(exp_dir / "checkpoint_final", result.state,
+                    result.epochs_run - 1,
+                    result.history["val_loss"][-1] if result.history["val_loss"] else float("inf"),
+                    result.history, cfg)
+    save_params(exp_dir / "model_final", result.state.params)
+    best_params = result.best_params
+    save_params(exp_dir / "model_best", best_params)
+
+    try:
+        from vitiq.eval.plots import plot_training_history
+        plot_training_history(result.history,
+                              log_dir / f"{cfg.experiment_name}_training_history.png")
+    except Exception as e:  # plotting must never kill a finished run
+        print(f"warning: history plot failed: {e}")
+
+    summary: Dict = {
+        "experiment_dir": str(exp_dir),
+        "epochs_run": result.epochs_run,
+        "stopped_early": result.stopped_early,
+        "train_wall_seconds": train_wall,
+        "best_val_loss": min(result.history["val_loss"]) if result.history["val_loss"] else None,
+        "history": result.history,
+        "normalization_stats": stats,
+    }
+
+    if evaluate_test:
+        from vitiq.eval import evaluate_model_with_confusion
+        x_test, y_test, z_test = splits["test"]
+        eval_res = evaluate_model_with_confusion(
+            fwd, best_params, x_test, y_test, z_test, class_names,
+            exp_dir / "evaluation", prefix="test", batch_size=cfg.train.batch_size,
+            preprocess_fn=preprocess, verbose=verbose,
+        )
+        summary["test_overall_accuracy"] = eval_res["overall_accuracy"]
+        summary["test_snr_accuracies"] = eval_res["snr_accuracies"]
+
+    (exp_dir / "summary.json").write_text(json.dumps(
+        {k: v for k, v in summary.items() if k != "history"}, indent=2, default=float
+    ))
+    return summary
+
+
+def run_evaluation(
+    checkpoint_dir: str,
+    dataset: str = "test",
+    batch_size: Optional[int] = None,
+    config_path: Optional[str] = None,
+    verbose: bool = True,
+) -> Dict:
+    """Standalone evaluation of a saved experiment (the reference's
+    evaluate.py flow: re-derive split + stats deterministically, rebuild the
+    model, load weights, evaluate — ref: ViT/training/evaluate.py:42-226)."""
+    exp_dir = Path(checkpoint_dir)
+    cfg = ExperimentConfig.from_json(str(Path(config_path) if config_path
+                                         else exp_dir / "config.json"))
+    if batch_size:
+        cfg.train.batch_size = batch_size
+
+    splits, stats, class_names = load_experiment_data(cfg)
+    stats_file = exp_dir / "normalization_stats.json"
+    if stats_file.exists():
+        stats = json.loads(stats_file.read_text())
+
+    preprocess = build_preprocess(cfg, stats)
+    fwd = make_forward(cfg.model)
+    template = init_amc_params(jax.random.PRNGKey(cfg.train.init_seed), cfg.model)
+    weights = exp_dir / "model_best.npz"
+    if not weights.exists():
+        weights = exp_dir / "model_final.npz"
+    params = load_params(weights, template)
+
+    x, y, z = splits[dataset]
+    from vitiq.eval import evaluate_model_with_confusion
+    return evaluate_model_with_confusion(
+        fwd, params, x, y, z, class_names, exp_dir / "evaluation",
+        prefix=dataset, batch_size=cfg.train.batch_size,
+        preprocess_fn=preprocess, verbose=verbose,
+    )

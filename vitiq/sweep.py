@@ -1,0 +1,251 @@
+"""PSO hyperparameter search.
+
+The reference shipped a non-runnable pyswarms sketch (5+ syntax errors,
+ref: hyperparameter_tuning.py — SURVEY.md §2.7) — its SEARCH SPACE is the
+spec, not its code. This module implements global-best PSO from scratch
+(numpy; pyswarms is not a dependency) with the sketch's exact swarm settings
+(18 particles, 25 iterations, c1=c2=1.5, w=0.6, ref:
+hyperparameter_tuning.py:134-145) over the same 9-dim space
+(ref: :105-132):
+
+  [model_type, d_model, n_head, n_layers, ffn_hidden, drop_prob,
+   learning_rate, batch_size, patch_or_segment_size]
+
+Fitness = negative validation accuracy after a short jitted training run
+(the sketch's `fast_train` did ONE batch; configurable here). Continuous
+particle positions are DECODED to valid architectures (d_model snapped to a
+multiple of n_head, patch/segment snapped to legal divisors) — the sketch
+would have crashed on most of its own search space.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+# bounds from the reference sketch (hyperparameter_tuning.py:105-132)
+MIN_BOUNDS = np.array([0, 32, 2, 1, 64, 0.0, 1e-5, 16, 4], dtype=np.float64)
+MAX_BOUNDS = np.array([1, 512, 16, 8, 2048, 0.4, 5e-3, 128, 64], dtype=np.float64)
+DIM = 9
+
+
+def decode_particle(p: np.ndarray) -> Dict:
+    """Continuous position -> valid hyperparameter dict."""
+    model_type = int(round(np.clip(p[0], 0, 1)))  # 0 = vit, 1 = rawiq
+    n_head = int(np.clip(round(p[2]), 2, 16))
+    d_model = int(np.clip(round(p[1]), 32, 512))
+    d_model = max(n_head, (d_model // n_head) * n_head)  # divisibility
+    n_layers = int(np.clip(round(p[3]), 1, 8))
+    ffn_hidden = int(np.clip(round(p[4]), 64, 2048))
+    drop_prob = float(np.clip(p[5], 0.0, 0.4))
+    lr = float(np.clip(p[6], 1e-5, 5e-3))
+    batch_size = int(np.clip(round(p[7]), 16, 128))
+    size = int(np.clip(round(p[8]), 4, 64))
+    if model_type == 0:
+        # patch must divide 32 and 64 -> {4, 8, 16, 32}
+        patch = min((4, 8, 16, 32), key=lambda v: abs(v - size))
+        arch = {"arm": "vit", "patch_size": patch}
+    else:
+        # segment must divide 1024 -> snap to nearest power of two in range
+        seg = min((4, 8, 16, 32, 64), key=lambda v: abs(v - size))
+        arch = {"arm": "rawiq", "segment_size": seg}
+    return {
+        **arch,
+        "d_model": d_model, "n_head": n_head, "n_layers": n_layers,
+        "ffn_hidden": ffn_hidden, "drop_prob": drop_prob,
+        "learning_rate": lr, "batch_size": batch_size,
+    }
+
+
+@dataclass
+class PSOResult:
+    best_position: np.ndarray
+    best_cost: float
+    best_hparams: Dict
+    cost_history: List[float]
+    evaluations: int
+
+
+def global_best_pso(
+    fitness: Callable[[np.ndarray], np.ndarray],
+    n_particles: int = 18,
+    iters: int = 25,
+    c1: float = 1.5,
+    c2: float = 1.5,
+    w: float = 0.6,
+    seed: int = 0,
+    bounds: Tuple[np.ndarray, np.ndarray] = (MIN_BOUNDS, MAX_BOUNDS),
+    verbose: bool = False,
+) -> PSOResult:
+    """Canonical global-best PSO; `fitness(X[n_particles, dim]) -> cost[n]`."""
+    rng = np.random.default_rng(seed)
+    lo, hi = bounds
+    dim = len(lo)
+    x = rng.uniform(lo, hi, (n_particles, dim))
+    v = np.zeros_like(x)
+
+    pbest_x = x.copy()
+    pbest_cost = fitness(x)
+    g = int(np.argmin(pbest_cost))
+    gbest_x, gbest_cost = pbest_x[g].copy(), float(pbest_cost[g])
+    history = [gbest_cost]
+    evals = n_particles
+
+    for it in range(iters):
+        r1 = rng.random((n_particles, dim))
+        r2 = rng.random((n_particles, dim))
+        v = w * v + c1 * r1 * (pbest_x - x) + c2 * r2 * (gbest_x - x)
+        x = np.clip(x + v, lo, hi)
+        cost = fitness(x)
+        evals += n_particles
+        improved = cost < pbest_cost
+        pbest_x[improved] = x[improved]
+        pbest_cost[improved] = cost[improved]
+        g = int(np.argmin(pbest_cost))
+        if pbest_cost[g] < gbest_cost:
+            gbest_cost = float(pbest_cost[g])
+            gbest_x = pbest_x[g].copy()
+        history.append(gbest_cost)
+        if verbose:
+            print(f"pso iter {it + 1}/{iters}: best_cost={gbest_cost:.4f}")
+
+    # decode only applies to the 9-dim AMC space; generic optimizations
+    # (tests, other spaces) get the raw position
+    hparams = decode_particle(gbest_x) if dim == DIM else {}
+    return PSOResult(gbest_x, gbest_cost, hparams, history, evals)
+
+
+# --------------------------------------------------------------------------
+# fitness: short training run
+# --------------------------------------------------------------------------
+
+def make_amc_fitness(
+    train_data, valid_data, num_classes: int, seq_length: int,
+    train_steps: int = 30, eval_batches: int = 4, seed: int = 0,
+) -> Callable[[np.ndarray], np.ndarray]:
+    """Fitness for the AMC search space: -val_accuracy after `train_steps`
+    jitted steps (the sketch's fast_train, fixed: real forward on batches,
+    correct variable names — ref bugs catalogued in SURVEY.md §2.7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vitiq.config import ModelConfig, TrainConfig
+    from vitiq.dsp import preprocess_batch_rawiq, preprocess_batch_vit
+    from vitiq.models import init_amc_params, make_forward
+    from vitiq.train.loop import make_eval_step, make_train_step
+    from vitiq.train.optim import create_train_state, make_optimizer
+
+    x_train, y_train = train_data
+    x_valid, y_valid = valid_data
+    stats = {"i_mean": 0.0, "i_std": 1.0, "q_mean": 0.0, "q_std": 1.0}
+
+    def eval_one(hp: Dict) -> float:
+        if hp["arm"] == "vit":
+            # fold the IQ frame into the largest image that fits the frame
+            h, w = 32, (2 * seq_length) // 32
+            cfg = ModelConfig(arm="vit", num_classes=num_classes,
+                              d_model=hp["d_model"], n_head=hp["n_head"],
+                              n_layers=hp["n_layers"], ffn_hidden=hp["ffn_hidden"],
+                              drop_prob=hp["drop_prob"], img_size_h=h, img_size_w=w,
+                              patch_size=hp["patch_size"], seq_length=seq_length)
+            pre = lambda x: preprocess_batch_vit(x, stats, H=h, W=w)
+        else:
+            cfg = ModelConfig(arm="rawiq", num_classes=num_classes,
+                              d_model=hp["d_model"], n_head=hp["n_head"],
+                              n_layers=hp["n_layers"], ffn_hidden=hp["ffn_hidden"],
+                              drop_prob=hp["drop_prob"], seq_length=seq_length,
+                              segment_size=hp["segment_size"])
+            pre = lambda x: preprocess_batch_rawiq(x, stats)
+        tcfg = TrainConfig(batch_size=hp["batch_size"], learning_rate=hp["learning_rate"])
+        fwd = make_forward(cfg)
+        params = init_amc_params(jax.random.PRNGKey(seed), cfg)
+        tx = make_optimizer(tcfg)
+        state = create_train_state(params, tcfg)
+        step = make_train_step(fwd, tx, tcfg.label_smoothing, pre)
+        estep = make_eval_step(fwd, 0.0, pre)
+
+        rng = jax.random.PRNGKey(seed)
+        srng = np.random.default_rng(seed)
+        bs = hp["batch_size"]
+        for _ in range(train_steps):
+            idx = srng.integers(0, len(x_train), bs)
+            state, _ = step(state, jnp.asarray(x_train[idx]), jnp.asarray(y_train[idx]), rng)
+
+        correct = count = 0.0
+        for b in range(min(eval_batches, len(x_valid) // bs)):
+            sl = slice(b * bs, (b + 1) * bs)
+            m = estep(state.params, jnp.asarray(x_valid[sl]), jnp.asarray(y_valid[sl]),
+                      jnp.ones((bs,), jnp.float32))
+            correct += float(m["correct_sum"])
+            count += float(m["count"])
+        return correct / max(count, 1.0)
+
+    def fitness(X: np.ndarray) -> np.ndarray:
+        costs = np.empty(len(X))
+        for i, p in enumerate(X):
+            hp = decode_particle(p)
+            try:
+                acc = eval_one(hp)
+            except (ValueError, RuntimeError) as e:
+                print(f"particle {i} invalid ({e}); penalizing")
+                acc = 0.0
+            costs[i] = -acc
+        return costs
+
+    return fitness
+
+
+def run_pso_sweep(
+    n_particles: int = 18,
+    iters: int = 25,
+    seed: int = 0,
+    train_steps: int = 30,
+    source: str = "synthetic",
+    file_path: Optional[str] = None,
+    json_path: Optional[str] = None,
+    output_path: Optional[str] = None,
+    frames_per_class: int = 512,
+    frame_len: int = 256,
+    verbose: bool = True,
+) -> Dict:
+    """End-to-end sweep over the 9-dim reference search space."""
+    if source == "synthetic":
+        from vitiq.data import SyntheticAMCDataset
+
+        ds = SyntheticAMCDataset(classes=("BPSK", "QPSK", "16QAM"),
+                                 frames_per_class=frames_per_class,
+                                 frame_len=frame_len, seed=seed)
+        n = len(ds)
+        split = int(0.85 * n)
+        train, valid = (ds.X[:split], ds.Y[:split]), (ds.X[split:], ds.Y[split:])
+        num_classes, seq_length = 3, frame_len
+    else:
+        from vitiq.config import DataConfig
+        from vitiq.data import HDF5DataSource
+
+        dcfg = DataConfig(source="hdf5", file_path=file_path, json_path=json_path)
+        src = HDF5DataSource(file_path, json_path)
+        s = src.split(dcfg)
+        x_t, y_t, _ = src.load_split_arrays(s.train[:20000], s.label_map)
+        x_v, y_v, _ = src.load_split_arrays(s.valid[:4000], s.label_map)
+        src.close()
+        train, valid = (x_t, y_t), (x_v, y_v)
+        num_classes, seq_length = len(dcfg.target_modulations), x_t.shape[1]
+
+    fitness = make_amc_fitness(train, valid, num_classes, seq_length,
+                               train_steps=train_steps, seed=seed)
+    result = global_best_pso(fitness, n_particles=n_particles, iters=iters,
+                             seed=seed, verbose=verbose)
+    out = {
+        "best_val_accuracy": -result.best_cost,
+        "best_hparams": result.best_hparams,
+        "cost_history": result.cost_history,
+        "evaluations": result.evaluations,
+    }
+    if output_path:
+        Path(output_path).write_text(json.dumps(out, indent=2, default=float))
+    return out

@@ -1,0 +1,294 @@
+"""Jitted train/eval steps and the epoch orchestration loop.
+
+TPU-first restructuring of the reference's epoch loop (ref:
+ViT/training/train.py:175-260, 450-560):
+
+* ONE jitted, state-donating train step = preprocess (normalize/reshape, fused
+  from the raw [B, L, 2] frame) + forward + loss + backward + clip + AdamW.
+  The reference instead preprocesses per-sample in DataLoader worker processes
+  and runs eager torch ops.
+* Batches arrive as global arrays sharded over the mesh's 'data' axis; the
+  gradient all-reduce is inserted by the jit partitioner and rides ICI.
+* Everything epoch-granular (plateau LR, early stop, checkpoint cadence,
+  history) stays on the host between steps.
+
+Static batch shapes: the train split drops the final partial batch (shapes
+must be trace-stable); evaluation pads the final batch and masks the padding
+so every sample is scored exactly once.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitiq.config import ExperimentConfig
+from vitiq.ops.metrics import accuracy, label_smoothed_cross_entropy
+from vitiq.parallel.mesh import batch_sharding, make_mesh, shard_params
+from vitiq.train.optim import TrainState, create_train_state, get_learning_rate, make_optimizer, set_learning_rate
+from vitiq.train.schedule import EarlyStopping, ReduceLROnPlateau
+
+
+# --------------------------------------------------------------------------
+# jitted steps
+# --------------------------------------------------------------------------
+
+def make_train_step(
+    forward_fn: Callable,
+    tx,
+    label_smoothing: float,
+    preprocess_fn: Optional[Callable] = None,
+):
+    """Returns jitted step(state, x, y, rng) -> (state, metrics).
+
+    x is the raw [B, L, 2] frame batch (or an already-shaped model input if
+    preprocess_fn is None); donate_argnums=(0,) reuses the state buffers.
+    """
+
+    def step(state: TrainState, x, y, rng):
+        inputs = preprocess_fn(x) if preprocess_fn is not None else x
+        # fold the step counter into the dropout key: one key per step,
+        # deterministic given (seed, step)
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            logits = forward_fn(params, inputs, train=True, rng=dropout_rng)
+            return label_smoothed_cross_entropy(logits, y, label_smoothing), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        metrics = {"loss": loss, "accuracy": accuracy(logits, y)}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(
+    forward_fn: Callable,
+    label_smoothing: float,
+    preprocess_fn: Optional[Callable] = None,
+):
+    """Returns jitted step(params, x, y, valid_mask) -> metrics sums + preds.
+
+    valid_mask zeroes padded rows so partial final batches score exactly.
+    """
+
+    def step(params, x, y, valid_mask):
+        inputs = preprocess_fn(x) if preprocess_fn is not None else x
+        logits = forward_fn(params, inputs, train=False)
+        logp_loss = label_smoothed_cross_entropy_per_sample(logits, y, label_smoothing)
+        preds = jnp.argmax(logits, axis=-1)
+        correct = (preds == y).astype(jnp.float32) * valid_mask
+        return {
+            "loss_sum": jnp.sum(logp_loss * valid_mask),
+            "correct_sum": jnp.sum(correct),
+            "count": jnp.sum(valid_mask),
+            "preds": preds,
+        }
+
+    return jax.jit(step)
+
+
+def label_smoothed_cross_entropy_per_sample(logits, labels, smoothing):
+    from vitiq.ops.metrics import log_softmax
+
+    logp = log_softmax(logits.astype(jnp.float32))
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if smoothing == 0.0:
+        return nll
+    uniform = -jnp.mean(logp, axis=-1)
+    return (1.0 - smoothing) * nll + smoothing * uniform
+
+
+# --------------------------------------------------------------------------
+# host-side batching
+# --------------------------------------------------------------------------
+
+def train_batches(
+    x: np.ndarray, y: np.ndarray, batch_size: int, rng: np.random.Generator,
+    sharding=None,
+) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Shuffled, drop-last batches placed on device (sharded if given)."""
+    n = len(x)
+    perm = rng.permutation(n)
+    for start in range(0, n - batch_size + 1, batch_size):
+        idx = perm[start:start + batch_size]
+        bx, by = x[idx], y[idx]
+        if sharding is not None:
+            bx = jax.device_put(bx, sharding)
+            by = jax.device_put(by, sharding)
+        yield bx, by
+
+
+def eval_batches(
+    x: np.ndarray, y: np.ndarray, batch_size: int, sharding=None,
+) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int]]:
+    """Sequential batches; the final one is padded to full size with a mask.
+    Yields (x, y, valid_mask, n_valid)."""
+    n = len(x)
+    for start in range(0, n, batch_size):
+        bx, by = x[start:start + batch_size], y[start:start + batch_size]
+        n_valid = len(bx)
+        if n_valid < batch_size:
+            pad = batch_size - n_valid
+            bx = np.concatenate([bx, np.zeros((pad,) + bx.shape[1:], bx.dtype)])
+            by = np.concatenate([by, np.zeros((pad,), by.dtype)])
+        mask = np.zeros(batch_size, np.float32)
+        mask[:n_valid] = 1.0
+        if sharding is not None:
+            bx = jax.device_put(bx, sharding)
+            by = jax.device_put(by, sharding)
+            mask = jax.device_put(mask, sharding)
+        yield bx, by, mask, n_valid
+
+
+def evaluate_epoch(eval_step, params, x, y, batch_size: int, sharding=None) -> Dict[str, float]:
+    loss_sum = correct_sum = count = 0.0
+    for bx, by, mask, _ in eval_batches(x, y, batch_size, sharding):
+        m = eval_step(params, bx, by, mask)
+        loss_sum += float(m["loss_sum"])
+        correct_sum += float(m["correct_sum"])
+        count += float(m["count"])
+    return {"loss": loss_sum / count, "accuracy": correct_sum / count}
+
+
+# --------------------------------------------------------------------------
+# fit: the full training loop
+# --------------------------------------------------------------------------
+
+@dataclass
+class FitResult:
+    state: TrainState
+    best_params: Any
+    history: Dict[str, list] = field(default_factory=dict)
+    stopped_early: bool = False
+    epochs_run: int = 0
+
+
+def fit(
+    cfg: ExperimentConfig,
+    forward_fn: Callable,
+    init_params,
+    train_data: Tuple[np.ndarray, np.ndarray],
+    valid_data: Tuple[np.ndarray, np.ndarray],
+    preprocess_fn: Optional[Callable] = None,
+    mesh=None,
+    epoch_callback: Optional[Callable] = None,
+    resume_state: Optional[TrainState] = None,
+    resume_history: Optional[Dict] = None,
+    start_epoch: int = 0,
+    verbose: bool = True,
+) -> FitResult:
+    """Train with the reference's control semantics: plateau LR, early stop,
+    best-params tracking, full history (ref: ViT/training/train.py:450-560).
+
+    `epoch_callback(epoch, state, history)` runs after each epoch (checkpoint
+    cadence lives there). Raw frames in train/valid_data; preprocess_fn runs
+    inside the jitted steps.
+    """
+    tcfg = cfg.train
+    if mesh is None:
+        mesh = make_mesh(data=tcfg.data_parallel, model=tcfg.model_parallel)
+    data_sharding = batch_sharding(mesh)
+
+    tx = make_optimizer(tcfg)
+    if resume_state is not None:
+        state = resume_state
+    else:
+        # copy before sharding: the train step donates state buffers, and the
+        # caller's init_params must survive (e.g. to seed a second run)
+        params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), init_params)
+        params = shard_params(params, mesh)
+        state = create_train_state(params, tcfg)
+
+    train_step = make_train_step(forward_fn, tx, tcfg.label_smoothing, preprocess_fn)
+    eval_step = make_eval_step(forward_fn, tcfg.label_smoothing, preprocess_fn)
+
+    scheduler = ReduceLROnPlateau(
+        factor=tcfg.lr_plateau_factor, patience=tcfg.lr_plateau_patience, min_lr=tcfg.min_lr
+    )
+    early_stopping = EarlyStopping(patience=tcfg.patience)
+
+    history = resume_history or {
+        "train_loss": [], "train_acc": [], "val_loss": [], "val_acc": [],
+        "lr": [], "epoch_time": [],
+    }
+    # re-prime scheduler/early-stop from history on resume (the reference
+    # restores history but silently resets both controllers — we re-derive)
+    for past_loss in history["val_loss"]:
+        scheduler.step(past_loss, get_learning_rate(state))
+        early_stopping(past_loss)
+    early_stopping.early_stop = False
+
+    base_rng = jax.random.PRNGKey(tcfg.dropout_seed)
+    shuffle_rng = np.random.default_rng(tcfg.shuffle_seed + start_epoch)
+    x_train, y_train = train_data
+    x_valid, y_valid = valid_data
+    if len(x_train) < tcfg.batch_size:
+        raise ValueError(
+            f"batch_size ({tcfg.batch_size}) exceeds the training-set size "
+            f"({len(x_train)}); train batches drop the final partial batch, so "
+            f"no step would ever run"
+        )
+
+    result = FitResult(state=state, best_params=None, history=history)
+    with mesh:
+        for epoch in range(start_epoch, tcfg.num_epochs):
+            t0 = time.perf_counter()
+            losses, accs = [], []
+            for bx, by in train_batches(x_train, y_train, tcfg.batch_size,
+                                        shuffle_rng, data_sharding):
+                state, metrics = train_step(state, bx, by, base_rng)
+                losses.append(metrics["loss"])
+                accs.append(metrics["accuracy"])
+            train_loss = float(jnp.mean(jnp.stack(losses)))
+            train_acc = float(jnp.mean(jnp.stack(accs)))
+
+            val = evaluate_epoch(eval_step, state.params, x_valid, y_valid,
+                                 tcfg.batch_size, data_sharding)
+            epoch_time = time.perf_counter() - t0
+
+            lr = get_learning_rate(state)
+            new_lr = scheduler.step(val["loss"], lr)
+            if new_lr != lr:
+                state = set_learning_rate(state, new_lr)
+
+            history["train_loss"].append(train_loss)
+            history["train_acc"].append(train_acc)
+            history["val_loss"].append(val["loss"])
+            history["val_acc"].append(val["accuracy"])
+            history["lr"].append(lr)
+            history["epoch_time"].append(epoch_time)
+
+            if verbose:
+                print(
+                    f"epoch {epoch + 1}/{tcfg.num_epochs} "
+                    f"train_loss={train_loss:.4f} train_acc={train_acc:.4f} "
+                    f"val_loss={val['loss']:.4f} val_acc={val['accuracy']:.4f} "
+                    f"lr={lr:.2e} ({epoch_time:.1f}s)"
+                )
+
+            result.state = state
+            result.epochs_run = epoch + 1
+            if epoch_callback is not None:
+                epoch_callback(epoch, state, history)
+
+            if early_stopping(val["loss"], state.params):
+                result.stopped_early = True
+                if verbose:
+                    print(f"early stopping at epoch {epoch + 1}")
+                break
+
+    result.state = state
+    result.best_params = (
+        early_stopping.best_params if early_stopping.best_params is not None else state.params
+    )
+    result.history = history
+    return result
