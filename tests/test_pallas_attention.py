@@ -1,0 +1,113 @@
+"""Fused-attention correctness tests.
+
+On CPU the Pallas kernel itself is exercised in interpreter mode; the public
+`fused_attention` wrapper is additionally checked against the XLA reference
+in its fallback path, and gradients flow through the custom VJP.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitiq.ops.attention import scaled_dot_product_attention
+from vitiq.ops.pallas import flash_attention as fa
+
+
+def packed_reference(q, k, v, n_head):
+    B, L, D = q.shape
+    dh = D // n_head
+    split = lambda t: t.reshape(B, L, n_head, dh).transpose(0, 2, 1, 3)
+    out = scaled_dot_product_attention(split(q), split(k), split(v))
+    return out.transpose(0, 2, 1, 3).reshape(B, L, D)
+
+
+def rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+
+class TestPallasKernelInterpret:
+    @pytest.mark.parametrize("L", [17, 129, 144])
+    @pytest.mark.parametrize("n_head", [4, 8])
+    def test_matches_xla_reference(self, L, n_head):
+        rng = np.random.default_rng(0)
+        B, D = 2, 128
+        q, k, v = (rand(rng, B, L, D) for _ in range(3))
+        with pltpu_interpret():
+            got = fa._pallas_attention(q, k, v, n_head)
+        want = packed_reference(q, k, v, n_head)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_padding_rows_do_not_leak(self):
+        """Results for [B, L] must not depend on the pad-to-sublane rows."""
+        rng = np.random.default_rng(1)
+        q, k, v = (rand(rng, 1, 9, 32) for _ in range(3))
+        with pltpu_interpret():
+            got = fa._pallas_attention(q, k, v, 2)
+        want = packed_reference(q, k, v, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+class TestFusedAttentionWrapper:
+    def test_cpu_fallback_matches(self):
+        rng = np.random.default_rng(2)
+        q, k, v = (rand(rng, 2, 33, 64) for _ in range(3))
+        got = fa.fused_attention(q, k, v, n_head=4)
+        want = packed_reference(q, k, v, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_mask_path(self):
+        rng = np.random.default_rng(3)
+        q, k, v = (rand(rng, 1, 8, 32) for _ in range(3))
+        mask = jnp.ones((1, 1, 8, 8)).at[..., -2:].set(0)
+        got = fa.fused_attention(q, k, v, n_head=4, mask=mask)
+        assert got.shape == (1, 8, 32)
+
+    def test_gradients_flow(self):
+        rng = np.random.default_rng(4)
+        q, k, v = (rand(rng, 2, 10, 32) for _ in range(3))
+
+        def loss(q, k, v):
+            return jnp.sum(fa.fused_attention(q, k, v, n_head=4) ** 2)
+
+        gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(packed_reference(q, k, v, 4) ** 2)
+
+        rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=1e-4)
+
+    def test_model_equivalence_packed_vs_split(self):
+        """A model built with the fused (packed) attention must match the
+        reference attention bit-closely in f32."""
+        from vitiq.config import ModelConfig
+        from vitiq.models import init_amc_params, make_forward
+
+        cfg = ModelConfig(arm="rawiq", num_classes=3, d_model=32, n_head=4,
+                          n_layers=2, ffn_hidden=64, drop_prob=0.0,
+                          seq_length=64, segment_size=16)
+        params = init_amc_params(jax.random.PRNGKey(0), cfg)
+        x = rand(np.random.default_rng(5), 4, 2, 64)
+        ref_fwd = make_forward(cfg)
+        fused_fwd = make_forward(cfg, attention_fn=fa.fused_attention)
+        np.testing.assert_allclose(
+            np.asarray(ref_fwd(params, x)), np.asarray(fused_fwd(params, x)),
+            atol=2e-5,
+        )
+
+
+class pltpu_interpret:
+    """Context manager: run pallas kernels in interpreter mode on CPU."""
+
+    def __enter__(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        self._cm = pltpu.force_tpu_interpret_mode()
+        self._cm.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        return self._cm.__exit__(*exc)

@@ -103,11 +103,16 @@ def mha_apply(params, x, n_head: int, mask=None, policy: Policy = REFERENCE,
     q = linear_apply(params["w_q"], x, policy)
     k = linear_apply(params["w_k"], x, policy)
     v = linear_apply(params["w_v"], x, policy)
-    # split heads: [B, L, D] -> [B, H, L, Dh]  (multi_head_attention.py:34-40)
-    split = lambda t: t.reshape(B, L, n_head, d_head).transpose(0, 2, 1, 3)
-    out = attention_fn(split(q), split(k), split(v), mask=mask, policy=policy)
-    # concat heads: [B, H, L, Dh] -> [B, L, D]  (multi_head_attention.py:41-47)
-    out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+    if getattr(attention_fn, "packed_layout", False):
+        # fused kernels take heads packed in the model dim ([B, L, D] stays
+        # compact in HBM; the head split is free inside VMEM)
+        out = attention_fn(q, k, v, n_head, mask=mask, policy=policy)
+    else:
+        # split heads: [B, L, D] -> [B, H, L, Dh]  (multi_head_attention.py:34-40)
+        split = lambda t: t.reshape(B, L, n_head, d_head).transpose(0, 2, 1, 3)
+        out = attention_fn(split(q), split(k), split(v), mask=mask, policy=policy)
+        # concat heads: [B, H, L, Dh] -> [B, L, D]  (multi_head_attention.py:41-47)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
     return linear_apply(params["w_concat"], out, policy)
 
 

@@ -3,22 +3,27 @@
 Why a custom kernel instead of translating the reference's matmul chain
 (ref: ViT/models/layers/scale_dot_product_attention.py:18-39): the reference
 materializes the [B, H, L, L] score tensor in device memory twice (pre- and
-post-softmax). At this model's shapes (L = 17..1025, d_head = 16..32) the score
-tensor is the dominant memory traffic of the layer. Here Q/K/V tiles stream
-HBM -> VMEM once, scores live only in VMEM/registers, and the (already
-padding-masked) softmax+PV product writes a single [L, dh] result per
-(batch, head) program.
+post-softmax). At this model's shapes (L = 17..1025) that tensor dominates the
+layer's HBM traffic — at inference batch 8192 on the ViT arm it alone is
+~4.4 GB, which is exactly what OOMs a 16 GB v5e under the XLA path. Here
+scores/probs live only in VMEM.
 
-Shapes are tiny relative to VMEM (a padded 1152x1152 f32 score block is ~5 MB),
-so one grid step per (batch*head) with the full sequence resident is both the
-simplest and the fastest schedule — no K/V streaming loop is needed.
+Layout design (the part that matters on TPU): heads are kept PACKED in the
+model dimension — kernel operands are [B, Lp, d_model] with d_model = 128 = one
+lane tile. A [B, H, L, d_head] layout with d_head = 16 would be physically
+padded 16 -> 128 lanes in HBM (8x memory blowup); packed, the arrays are
+compact and the per-head split happens for free in VMEM via a reshape. L is
+padded to the sublane tile only (129 -> 144 for bf16), with padded keys masked
+to -inf before the softmax.
 
-The public entry `fused_attention` is a drop-in for
-`vitiq.ops.attention.scaled_dot_product_attention` (same [B,H,L,Dh] layout):
-  * on TPU backends it calls the Pallas kernel with a custom VJP whose backward
-    recomputes attention under XLA (flash-style rematerialization — no probs
-    tensor saved);
-  * on CPU/GPU it falls back to the XLA implementation so tests run anywhere.
+One grid step per batch element holds the whole [H, Lp, Lp] score block in
+VMEM (~600 KB at L=144) — no K/V streaming loop is needed at these sequence
+lengths.
+
+The public entry `fused_attention` is packed-layout (consumed by
+`mha_apply` before head splitting); backward recomputes attention under XLA
+(flash-style rematerialization). On CPU/GPU it falls back to the XLA
+reference implementation so tests run anywhere.
 """
 
 from __future__ import annotations
@@ -34,7 +39,6 @@ from jax.experimental.pallas import tpu as pltpu
 from vitiq.ops.attention import scaled_dot_product_attention
 from vitiq.ops.numerics import Policy, REFERENCE
 
-_LANE = 128
 _NEG_INF = -1e30
 
 
@@ -42,80 +46,95 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float):
-    """One (batch*head) program: full-sequence attention in VMEM.
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, n_head: int,
+                      scale: float):
+    """One batch element: packed [Lp, D] -> per-head attention -> packed [Lp, D].
 
-    Refs are [Lp, Dp] blocks (padded). Padded KEY columns are masked to -inf
-    before the softmax; padded query rows compute garbage that the caller
-    slices off. Padded Dh columns of q/k are zero so they add nothing to the
-    logits; padded v columns produce zeros in the output.
+    Heads are carved out with STATIC lane slices and processed in an unrolled
+    loop: Mosaic cannot relayout a lane-splitting reshape ([Lp, 128] ->
+    [Lp, H, dh], "unsupported shape cast"), but static slices at dh-aligned
+    offsets lower cleanly, and the per-head [Lp, dh] x [dh, Lp] matmuls still
+    hit the MXU with f32 accumulation.
     """
+    lp, d = q_ref.shape
+    dh = d // n_head
     q = q_ref[:].astype(jnp.float32)
     k = k_ref[:].astype(jnp.float32)
-    # scores: [Lp, Lp] on the MXU, f32 accumulation
-    scores = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    lp = scores.shape[-1]
+    v = v_ref[:]
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), dimension=1)
-    scores = jnp.where(key_ids < seq_len, scores, _NEG_INF)
-    # numerically stable softmax over keys
-    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-    probs = jnp.exp(scores)
-    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-    o_ref[:] = jnp.dot(
-        probs.astype(v_ref.dtype), v_ref[:], preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+
+    outs = []
+    for h in range(n_head):
+        sl = slice(h * dh, (h + 1) * dh)
+        scores = jax.lax.dot_general(
+            q[:, sl], k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        scores = jnp.where(key_ids < seq_len, scores, _NEG_INF)
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        probs = jnp.exp(scores)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        outs.append(jnp.dot(probs.astype(v.dtype), v[:, sl],
+                            preferred_element_type=jnp.float32))
+    o_ref[:] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
-def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """[B, H, L, Dh] fused attention (no mask support — the AMC encoder never
-    passes one, ref: ViT/models/encoder.py src_mask=None throughout)."""
-    B, H, L, Dh = q.shape
-    Lp = _round_up(L, _LANE)
-    Dp = _round_up(Dh, _LANE)
-    pad = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, Lp - L), (0, Dp - Dh)))
+def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      n_head: int) -> jnp.ndarray:
+    """Packed [B, L, D] fused self-attention (no mask support — the AMC
+    encoder never passes one, ref: ViT/models/encoder.py src_mask=None)."""
+    B, L, D = q.shape
+    sublane = 16 if q.dtype == jnp.bfloat16 else 8
+    Lp = _round_up(L, sublane)
+    pad = lambda t: jnp.pad(t, ((0, 0), (0, Lp - L), (0, 0)))
     qp, kp, vp = pad(q), pad(k), pad(v)
-    # fold batch & heads into the grid
-    qf = qp.reshape(B * H, Lp, Dp)
-    kf = kp.reshape(B * H, Lp, Dp)
-    vf = vp.reshape(B * H, Lp, Dp)
 
     kernel = functools.partial(
-        _attention_kernel, seq_len=L, scale=1.0 / (Dh ** 0.5)
+        _attention_kernel, seq_len=L, n_head=n_head,
+        scale=1.0 / ((D // n_head) ** 0.5),
     )
-    block = pl.BlockSpec((1, Lp, Dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    block = pl.BlockSpec((1, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         lambda qr, kr, vr, orf: kernel(qr.at[0], kr.at[0], vr.at[0], orf.at[0]),
-        grid=(B * H,),
+        grid=(B,),
         in_specs=[block, block, block],
         out_specs=block,
-        out_shape=jax.ShapeDtypeStruct((B * H, Lp, Dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Lp, D), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Lp * Lp * Dp,
-            bytes_accessed=4 * B * H * Lp * Dp * 4,
-            transcendentals=B * H * Lp * Lp,
+            flops=4 * B * n_head * Lp * Lp * (D // n_head),
+            bytes_accessed=4 * B * Lp * D * q.dtype.itemsize,
+            transcendentals=B * n_head * Lp * Lp,
         ),
-    )(qf, kf, vf)
-    return out.reshape(B, H, Lp, Dp)[:, :, :L, :Dh]
+    )(qp, kp, vp)
+    return out[:, :L, :]
 
 
-@jax.custom_vjp
-def _fused_attention_tpu(q, k, v):
-    return _pallas_attention(q, k, v)
+def _xla_packed_attention(q, k, v, n_head, policy):
+    """Packed-layout reference path (CPU fallback + backward recompute)."""
+    B, L, D = q.shape
+    dh = D // n_head
+    split = lambda t: t.reshape(B, L, n_head, dh).transpose(0, 2, 1, 3)
+    out = scaled_dot_product_attention(split(q), split(k), split(v), policy=policy)
+    return out.transpose(0, 2, 1, 3).reshape(B, L, D)
 
 
-def _fwd(q, k, v):
-    return _pallas_attention(q, k, v), (q, k, v)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_attention_tpu(q, k, v, n_head):
+    return _pallas_attention(q, k, v, n_head)
 
 
-def _bwd(residuals, g):
+def _fwd(q, k, v, n_head):
+    return _pallas_attention(q, k, v, n_head), (q, k, v)
+
+
+def _bwd(n_head, residuals, g):
     # Flash-style backward: recompute attention under XLA (fused by the
-    # compiler) instead of saving the [B,H,L,L] probability tensor.
+    # compiler) instead of saving the [B, H, L, L] probability tensor.
     q, k, v = residuals
-    _, vjp = jax.vjp(lambda q_, k_, v_: scaled_dot_product_attention(q_, k_, v_), q, k, v)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_packed_attention(q_, k_, v_, n_head, REFERENCE), q, k, v
+    )
     return vjp(g)
 
 
@@ -126,18 +145,34 @@ def fused_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
+    n_head: int,
     mask: Optional[jnp.ndarray] = None,
     policy: Policy = REFERENCE,
     return_scores: bool = False,
 ):
-    """Drop-in for scaled_dot_product_attention; Pallas on TPU, XLA elsewhere."""
-    if (
-        mask is not None
-        or return_scores
-        or jax.default_backend() not in ("tpu", "axon")
-    ):
-        return scaled_dot_product_attention(
-            q, k, v, mask=mask, policy=policy, return_scores=return_scores
-        )
+    """Packed-layout fused attention: [B, L, d_model] in/out.
+
+    Pallas on TPU; XLA everywhere else (and whenever a mask or the score
+    matrix is requested).
+    """
+    if mask is not None or return_scores or jax.default_backend() != "tpu":
+        if mask is not None or return_scores:
+            B, L, D = q.shape
+            dh = D // n_head
+            split = lambda t: t.reshape(B, L, n_head, dh).transpose(0, 2, 1, 3)
+            res = scaled_dot_product_attention(
+                split(q), split(k), split(v), mask=mask, policy=policy,
+                return_scores=return_scores,
+            )
+            if return_scores:
+                out, scores = res
+                return out.transpose(0, 2, 1, 3).reshape(B, L, D), scores
+            return res.transpose(0, 2, 1, 3).reshape(B, L, D)
+        return _xla_packed_attention(q, k, v, n_head, policy)
     compute = policy.cast_compute
-    return _fused_attention_tpu(compute(q), compute(k), compute(v)).astype(jnp.float32)
+    return _fused_attention_tpu(compute(q), compute(k), compute(v), n_head).astype(
+        jnp.float32
+    )
+
+
+fused_attention.packed_layout = True
