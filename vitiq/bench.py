@@ -47,15 +47,36 @@ def _default_batch() -> int:
     return 8192 if jax.default_backend() != "cpu" else 256
 
 
-def _time_fn(fn: Callable, args, steps: int, warmup: int = 3) -> Dict[str, float]:
-    """Median + best wall time per call over `steps` timed calls."""
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+def _default_inner() -> int:
+    return 8 if jax.default_backend() != "cpu" else 1
+
+
+def _time_amortized(step_fn: Callable, args, steps: int, inner: int) -> Dict[str, float]:
+    """Honest device timing: run `inner` iterations of step_fn INSIDE one jit
+    (inputs perturbed per iteration so XLA cannot hoist the computation out of
+    the loop), fetch a scalar result to the host, and report the median
+    per-iteration time.
+
+    Per-call wall timing through a remote-dispatch transport was observed to
+    under-report by orders of magnitude (completion acks without device
+    execution); an in-jit scan + host scalar fetch lower-bounds real compute.
+    """
+
+    @jax.jit
+    def run(*args):
+        def body(carry, i):
+            out = step_fn(i, *args)
+            return carry + jnp.sum(out.astype(jnp.float32)), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(inner))
+        return total
+
+    float(run(*args))  # compile + warm up
     times = []
-    for _ in range(steps):
+    for _ in range(max(steps // inner, 3)):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
+        float(run(*args))  # scalar fetch forces full completion
+        times.append((time.perf_counter() - t0) / inner)
     times = np.asarray(times)
     return {"p50_s": float(np.median(times)), "best_s": float(times.min()),
             "mean_s": float(times.mean())}
@@ -73,15 +94,15 @@ def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
     else:
         pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
 
-    @jax.jit
-    def infer(params, x):
-        return fwd(params, pre(x), train=False).argmax(axis=-1)
+    def infer(i, params, x):
+        xi = x + i.astype(x.dtype) * 1e-6  # defeat loop-invariant hoisting
+        return fwd(params, pre(xi), train=False).argmax(axis=-1)
 
     x = jax.device_put(
         jnp.asarray(np.random.default_rng(0).standard_normal(
             (batch_size, cfg.seq_length, 2)), jnp.float32)
     )
-    t = _time_fn(infer, (params, x), steps)
+    t = _time_amortized(infer, (params, x), steps, _default_inner())
     fps = batch_size / t["p50_s"]
     return {
         "metric": f"iq_frames_per_sec_per_chip_{arm}",
@@ -118,14 +139,16 @@ def bench_train_step(arm: str = "vit", batch_size: Optional[int] = None,
         (batch_size, cfg.seq_length, 2)), jnp.float32)
     y = jnp.zeros((batch_size,), jnp.int32)
 
-    # donated state: rebuild fresh per timing via re-binding returned state
-    state, _ = step(state, x, y, rng)  # compile + donate once
-    jax.block_until_ready(state)
+    # donated state threads through the loop; fetching the loss scalar to the
+    # host forces true completion (block_until_ready alone was observed to
+    # under-report through remote-dispatch transports)
+    state, m = step(state, x, y, rng)  # compile + donate once
+    float(m["loss"])
     times = []
     for _ in range(steps):
         t0 = time.perf_counter()
         state, metrics = step(state, x, y, rng)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
     return {
@@ -145,13 +168,12 @@ def bench_dsp_frontend(batch_size: Optional[int] = None, steps: int = 30,
     batch_size = batch_size or _default_batch()
     frame_len = 1024
 
-    @jax.jit
-    def frontend(x):
-        return matched_filter_batch(x, sps=sps)
+    def frontend(i, x):
+        return matched_filter_batch(x + i.astype(x.dtype) * 1e-6, sps=sps)
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (batch_size, frame_len, 2)), jnp.float32)
-    t = _time_fn(frontend, (x,), steps)
+    t = _time_amortized(frontend, (x,), steps, _default_inner())
     bytes_moved = 2 * batch_size * frame_len * 2 * 4  # read + write f32
     return {
         "metric": "dsp_frontend_gbps",

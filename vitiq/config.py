@@ -147,6 +147,7 @@ class DataConfig:
     # synthetic source parameters
     synthetic_classes: Tuple[str, ...] = ("BPSK", "QPSK", "16QAM")
     synthetic_frames_per_class: int = 2048
+    synthetic_frame_len: int = 1024
     synthetic_snr_db: Tuple[float, ...] = (-8.0, 0.0, 8.0, 20.0)
     synthetic_seed: int = 0
 
@@ -234,6 +235,20 @@ class ExperimentConfig:
                 f"model.num_classes ({self.model.num_classes}) != number of dataset "
                 f"classes ({self.data.num_classes})"
             )
+        if self.data.source == "synthetic":
+            frame_len = self.data.synthetic_frame_len
+            if self.model.arm == "rawiq" and self.model.seq_length != frame_len:
+                raise ValueError(
+                    f"model.seq_length ({self.model.seq_length}) != "
+                    f"data.synthetic_frame_len ({frame_len})"
+                )
+            if self.model.arm == "vit" and (
+                self.model.img_size_h * self.model.img_size_w != 2 * frame_len
+            ):
+                raise ValueError(
+                    f"ViT image {self.model.img_size_h}x{self.model.img_size_w} must "
+                    f"hold 2*frame_len = {2 * frame_len} values"
+                )
 
     # ---- JSON round-trip -------------------------------------------------
     def to_dict(self) -> Dict[str, Any]:

@@ -128,6 +128,27 @@ def preprocess_batch_rawiq(x: jnp.ndarray, stats: Dict[str, float]) -> jnp.ndarr
     return ((x - mean) / std).transpose(0, 2, 1)
 
 
+def preprocess_batch_mdf(x: jnp.ndarray, H: int = 32, W: int = 32):
+    """The MDF-NET dual-stream transform (ref: ViT/MDF_NET.ipynb cell 7):
+    [B, L, 2] raw frames -> (amplitude image [B, 1, H, W] scaled by per-frame
+    max, phase image [B, 1, H, W] scaled by pi, raw iq sequence [B, L, 2]).
+
+    L must equal H*W (1024 = 32x32 in the notebook). The notebook's CNN-LSTM
+    consumer (`CNN_LSTM_new.create_multi_domain_model`) is missing from the
+    reference tree (SURVEY.md §2.7) and is out of scope; the transform itself
+    is offered so the shared encoder (or external models) can consume it.
+    """
+    B, L, _ = x.shape
+    if L != H * W:
+        raise ValueError(f"frame length {L} must equal H*W = {H * W}")
+    i_sig, q_sig = x[..., 0], x[..., 1]
+    amp = jnp.sqrt(i_sig * i_sig + q_sig * q_sig)
+    amp_max = jnp.maximum(jnp.max(amp, axis=-1, keepdims=True), 1e-8)
+    amp_img = (amp / amp_max).reshape(B, 1, H, W)
+    phase_img = (jnp.arctan2(q_sig, i_sig) / jnp.pi).reshape(B, 1, H, W)
+    return amp_img, phase_img, x
+
+
 def preprocess_batch_amplitude_phase(x: jnp.ndarray) -> jnp.ndarray:
     """[B, L, 2] raw frames -> [B, 2, L] (amplitude/amp_max, phase/pi) features.
 

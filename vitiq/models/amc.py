@@ -72,7 +72,60 @@ def make_forward(cfg: ModelConfig, attention_fn: Optional[Callable] = None):
     return forward
 
 
+def make_feature_extractor(cfg: ModelConfig, attention_fn: Optional[Callable] = None):
+    """Encoder-output access helpers, parity with the rawIQ encoder's
+    `get_cls_token_output` / `get_sequence_output`
+    (ref: transformer_rawIQ/models/encoder.py:119-153).
+
+    Returns fn(params, src) -> {"sequence_output": [B, L, d],
+    "cls_output": [B, d] or None}.
+    """
+    cfg.validate()
+    policy = policy_for(cfg.numerics)
+    if attention_fn is None:
+        attention_fn = scaled_dot_product_attention
+
+    def extract(params, src):
+        x = encoder_apply(params["encoder"], src, cfg, policy, train=False,
+                          attention_fn=attention_fn)
+        has_cls = cfg.arm == "vit" or cfg.use_cls_token
+        return {
+            "sequence_output": x[:, 1:] if has_cls else x,
+            "cls_output": x[:, 0] if has_cls else None,
+        }
+
+    return extract
+
+
 def count_parameters(params) -> int:
     """Total trainable parameter count (utility parity with
     ref: ViT/training/utils.py:469-483)."""
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+def make_attention_map_fn(cfg: ModelConfig):
+    """Per-layer post-softmax attention maps — implements the reference's
+    unfinished visualization TODO (ref: ViT/models/layers/
+    multi_head_attention.py:30-31 "we should implement visualization").
+
+    Returns fn(params, src) -> list of n_layers arrays [B, H, L, L].
+    """
+    cfg.validate()
+    policy = policy_for(cfg.numerics)
+
+    def extract(params, src):
+        maps = []
+
+        def capturing_attention(q, k, v, mask=None, policy=policy,
+                                return_scores=False):
+            out, scores = scaled_dot_product_attention(
+                q, k, v, mask=mask, policy=policy, return_scores=True
+            )
+            maps.append(scores)
+            return out
+
+        encoder_apply(params["encoder"], src, cfg, policy, train=False,
+                      attention_fn=capturing_attention)
+        return maps
+
+    return extract

@@ -58,13 +58,19 @@ def layer_norm_init(d_model: int, dtype=jnp.float32):
     return {"gamma": jnp.ones((d_model,), dtype), "beta": jnp.zeros((d_model,), dtype)}
 
 
-def layer_norm_apply(params, x, eps: float = LN_EPS):
-    """Biased-variance LayerNorm with eps=1e-12 in f32, regardless of policy."""
+def layer_norm_apply(params, x, eps: float = LN_EPS, out_dtype=None):
+    """Biased-variance LayerNorm with eps=1e-12; statistics always in f32.
+
+    `out_dtype` controls the residual-stream dtype: f32 by default (reference
+    parity), bf16 under the 'tpu' policy so the activation stream stays
+    half-width in HBM.
+    """
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)  # unbiased=False
     out = (x32 - mean) / jnp.sqrt(var + eps)
-    return params["gamma"] * out + params["beta"]
+    out = params["gamma"] * out + params["beta"]
+    return out if out_dtype is None else out.astype(out_dtype)
 
 
 def dropout(x, rate: float, rng: Optional[jax.Array], train: bool):
@@ -156,11 +162,16 @@ def encoder_layer_apply(params, x, n_head: int, drop_prob: float, rng, train: bo
         r_attn, r_ffn_inner, r_ffn_out = jax.random.split(rng, 3)
     else:
         r_attn = r_ffn_inner = r_ffn_out = None
+    # residual stream dtype: f32 for reference parity, compute dtype (bf16)
+    # under the TPU policy — halves the HBM traffic of every residual/LN pass
+    stream_dtype = None if policy.compute_dtype == jnp.float32 else policy.compute_dtype
     # 1-2. self-attention, dropout BEFORE the residual add, then post-norm
     attn = mha_apply(params["attention"], x, n_head, mask=mask, policy=policy,
                      attention_fn=attention_fn)
-    x = layer_norm_apply(params["norm1"], dropout(attn, drop_prob, r_attn, train) + x)
+    x = layer_norm_apply(params["norm1"], dropout(attn, drop_prob, r_attn, train) + x,
+                         out_dtype=stream_dtype)
     # 3-4. FFN (dropout inside, between ReLU and linear2), then post-norm
     ffn = ffn_apply(params["ffn"], x, drop_prob, r_ffn_inner, train, policy=policy)
-    x = layer_norm_apply(params["norm2"], dropout(ffn, drop_prob, r_ffn_out, train) + x)
+    x = layer_norm_apply(params["norm2"], dropout(ffn, drop_prob, r_ffn_out, train) + x,
+                         out_dtype=stream_dtype)
     return x

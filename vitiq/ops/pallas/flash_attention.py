@@ -48,36 +48,55 @@ def _round_up(x: int, m: int) -> int:
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, n_head: int,
                       scale: float):
-    """One batch element: packed [Lp, D] -> per-head attention -> packed [Lp, D].
+    """One block of G batch rows: packed [G, Lp, D] -> attention -> [G, Lp, D].
 
     Heads are carved out with STATIC lane slices and processed in an unrolled
     loop: Mosaic cannot relayout a lane-splitting reshape ([Lp, 128] ->
     [Lp, H, dh], "unsupported shape cast"), but static slices at dh-aligned
-    offsets lower cleanly, and the per-head [Lp, dh] x [dh, Lp] matmuls still
-    hit the MXU with f32 accumulation.
+    offsets lower cleanly. Each head does one G-batched [G, Lp, dh] x
+    [G, dh, Lp] MXU matmul — G amortizes both the per-program launch/DMA
+    overhead (a 1-row grid spends more time launching than computing at these
+    shapes) and the MXU tiling waste of the dh=16 contraction.
     """
-    lp, d = q_ref.shape
+    g, lp, d = q_ref.shape
     dh = d // n_head
-    q = q_ref[:].astype(jnp.float32)
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:]
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), dimension=1)
+    key_mask = jax.lax.broadcasted_iota(jnp.int32, (g, lp, lp), dimension=2) < seq_len
 
-    outs = []
+    # each head writes its own output-lane slice immediately, so its scores /
+    # probs temporaries are dead before the next head starts (a concatenate at
+    # the end keeps every head's temporaries live at once and blows the 16 MB
+    # scoped-VMEM stack)
     for h in range(n_head):
         sl = slice(h * dh, (h + 1) * dh)
         scores = jax.lax.dot_general(
-            q[:, sl], k[:, sl],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            q_ref[:, :, sl].astype(jnp.float32), k_ref[:, :, sl].astype(jnp.float32),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale
-        scores = jnp.where(key_ids < seq_len, scores, _NEG_INF)
+        ) * scale  # [G, Lp, Lp]
+        scores = jnp.where(key_mask, scores, _NEG_INF)
         scores = scores - jnp.max(scores, axis=-1, keepdims=True)
         probs = jnp.exp(scores)
         probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-        outs.append(jnp.dot(probs.astype(v.dtype), v[:, sl],
-                            preferred_element_type=jnp.float32))
-    o_ref[:] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+        out = jax.lax.dot_general(
+            probs.astype(v_ref.dtype), v_ref[:, :, sl],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, Lp, dh]
+        o_ref[:, :, sl] = out.astype(o_ref.dtype)
+
+
+def _pick_batch_block(B: int, Lp: int, D: int, itemsize: int) -> int:
+    """Largest G (power of two <= 32) dividing the padded batch such that the
+    kernel's VMEM working set stays comfortably under budget."""
+    for g in (32, 16, 8, 4, 2, 1):
+        # q/k/v/o blocks are double-buffered by the pipeline (x2); q/k are
+        # cast to f32 in-kernel; scores+probs per head live in f32
+        blocks = 2 * 4 * g * Lp * D * itemsize
+        casts = 2 * g * Lp * D * 4
+        scores = 2 * g * Lp * Lp * 4
+        if blocks + casts + scores <= 10 * 1024 * 1024:
+            return g
+    return 1
 
 
 def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -87,27 +106,29 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     B, L, D = q.shape
     sublane = 16 if q.dtype == jnp.bfloat16 else 8
     Lp = _round_up(L, sublane)
-    pad = lambda t: jnp.pad(t, ((0, 0), (0, Lp - L), (0, 0)))
+    G = _pick_batch_block(B, Lp, D, q.dtype.itemsize)
+    Bp = _round_up(B, G)
+    pad = lambda t: jnp.pad(t, ((0, Bp - B), (0, Lp - L), (0, 0)))
     qp, kp, vp = pad(q), pad(k), pad(v)
 
     kernel = functools.partial(
         _attention_kernel, seq_len=L, n_head=n_head,
         scale=1.0 / ((D // n_head) ** 0.5),
     )
-    block = pl.BlockSpec((1, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    block = pl.BlockSpec((G, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        lambda qr, kr, vr, orf: kernel(qr.at[0], kr.at[0], vr.at[0], orf.at[0]),
-        grid=(B,),
+        kernel,
+        grid=(Bp // G,),
         in_specs=[block, block, block],
         out_specs=block,
-        out_shape=jax.ShapeDtypeStruct((B, Lp, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * n_head * Lp * Lp * (D // n_head),
-            bytes_accessed=4 * B * Lp * D * q.dtype.itemsize,
-            transcendentals=B * n_head * Lp * Lp,
+            flops=4 * Bp * n_head * Lp * Lp * (D // n_head),
+            bytes_accessed=4 * Bp * Lp * D * q.dtype.itemsize,
+            transcendentals=Bp * n_head * Lp * Lp,
         ),
     )(qp, kp, vp)
-    return out[:, :L, :]
+    return out[:B, :L, :]
 
 
 def _xla_packed_attention(q, k, v, n_head, policy):
@@ -170,9 +191,9 @@ def fused_attention(
             return res.transpose(0, 2, 1, 3).reshape(B, L, D)
         return _xla_packed_attention(q, k, v, n_head, policy)
     compute = policy.cast_compute
-    return _fused_attention_tpu(compute(q), compute(k), compute(v), n_head).astype(
-        jnp.float32
-    )
+    # stays in the policy's compute dtype: the downstream w_concat matmul
+    # consumes bf16 directly under the TPU policy (no f32 round-trip in HBM)
+    return _fused_attention_tpu(compute(q), compute(k), compute(v), n_head)
 
 
 fused_attention.packed_layout = True

@@ -46,8 +46,38 @@ def make_mesh(
     return Mesh(mesh_devices, ("data", "model"))
 
 
+def make_multislice_mesh(
+    dcn_data: int,
+    ici_data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Multi-slice mesh: batch sharded over BOTH the cross-slice DCN axis and
+    the within-slice ICI axis, model parallelism confined within a slice.
+
+    Uses `mesh_utils.create_hybrid_device_mesh` so the slower DCN network only
+    carries the once-per-step gradient all-reduce across slices while ICI
+    carries everything else — the standard multi-slice recipe. Axes are
+    ("dcn_data", "data", "model") and `batch_sharding`/`param_shardings`
+    treat ("dcn_data", "data") jointly as the batch axis.
+
+    Requires a real multi-slice environment (jax.distributed initialized);
+    on a single slice use `make_mesh`.
+    """
+    devices = jax.devices()
+    if ici_data is None:
+        ici_data = len(devices) // (dcn_data * model)
+    mesh_devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(1, ici_data, model),
+        dcn_mesh_shape=(dcn_data, 1, 1),
+        devices=devices,
+    )
+    return Mesh(mesh_devices, ("dcn_data", "data", "model"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) axis split over 'data'; feature axes replicated."""
+    """Leading (batch) axis split over the data axes; feature axes replicated."""
+    if "dcn_data" in mesh.axis_names:
+        return NamedSharding(mesh, P(("dcn_data", "data")))
     return NamedSharding(mesh, P("data"))
 
 

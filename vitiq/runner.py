@@ -57,6 +57,7 @@ def load_experiment_data(cfg: ExperimentConfig):
         ds = SyntheticAMCDataset(
             classes=cfg.data.synthetic_classes,
             frames_per_class=cfg.data.synthetic_frames_per_class,
+            frame_len=cfg.data.synthetic_frame_len,
             snrs_db=cfg.data.synthetic_snr_db,
             seed=cfg.data.synthetic_seed,
         )
@@ -122,18 +123,33 @@ def run_training(
         if history["val_loss"][-1] <= min(history["val_loss"]):
             save_params(exp_dir / "model_best", state.params)
 
+    # rescue state for Ctrl-C (ref: transformer_rawIQ/training/train.py:716-734
+    # saves checkpoint_interrupted.pth on KeyboardInterrupt)
+    last = {"state": None, "epoch": -1, "history": None}
+
+    def tracking_callback(epoch, state, history):
+        last.update(state=state, epoch=epoch, history=history)
+        checkpoint_callback(epoch, state, history)
+
     x_train, y_train, _ = splits["train"]
     x_valid, y_valid, _ = splits["valid"]
     t0 = time.perf_counter()
     try:
         result = fit(
             cfg, fwd, params, (x_train, y_train), (x_valid, y_valid),
-            preprocess_fn=preprocess, epoch_callback=checkpoint_callback,
+            preprocess_fn=preprocess, epoch_callback=tracking_callback,
             resume_state=resume_state, resume_history=resume_history,
             start_epoch=start_epoch, verbose=verbose,
         )
     except KeyboardInterrupt:
-        print("interrupted — attempting rescue checkpoint")
+        if last["state"] is not None:
+            save_checkpoint(exp_dir / "checkpoint_interrupted", last["state"],
+                            last["epoch"], last["history"]["val_loss"][-1],
+                            last["history"], cfg)
+            print(f"interrupted — rescue checkpoint written to "
+                  f"{exp_dir / 'checkpoint_interrupted.npz'} (epoch {last['epoch'] + 1})")
+        else:
+            print("interrupted before the first epoch completed — nothing to rescue")
         raise
     train_wall = time.perf_counter() - t0
 
