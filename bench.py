@@ -15,6 +15,9 @@ import sys
 
 
 def main() -> int:
+    from vitiq.utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     from vitiq.bench import TARGET_FPS, bench_fused_infer
 
     res = bench_fused_infer("vit")

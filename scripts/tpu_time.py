@@ -13,6 +13,10 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
+
+from vitiq.utils.compile_cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 

@@ -171,3 +171,13 @@ class TestAttentionMaps:
         assert len(maps) == 2
         assert maps[0].shape == (2, 4, 5, 5)  # [B, H, L=4+cls, L]
         np.testing.assert_allclose(np.asarray(maps[0].sum(-1)), 1.0, atol=1e-5)
+
+
+class TestCompileCache:
+    def test_enables_and_creates_dir(self, tmp_path, monkeypatch):
+        from vitiq.utils.compile_cache import enable_persistent_compilation_cache
+
+        monkeypatch.setenv("VITIQ_COMPILE_CACHE", str(tmp_path / "cc"))
+        enable_persistent_compilation_cache()
+        assert (tmp_path / "cc").is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")

@@ -213,6 +213,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from vitiq.utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     return args.fn(args)
 
 
