@@ -163,3 +163,47 @@ class TestSyntheticDataset:
         p = np.mean(ds.X[..., 0] ** 2 + ds.X[..., 1] ** 2)
         # signal power 1 + noise power 0.1 => ~1.1
         assert 1.05 < p < 1.15
+
+
+class TestSpectrogram:
+    def test_shape_and_tone_localization(self):
+        import jax.numpy as jnp
+        from vitiq.dsp.frontend import preprocess_batch_spectrogram
+
+        # complex tone at +fs/4 -> energy in one shifted-FFT bin column
+        L, nfft, hop = 1024, 64, 32
+        t = np.arange(L)
+        sig = np.exp(1j * 2 * np.pi * 0.25 * t)
+        x = np.stack([sig.real, sig.imag], -1)[None].astype(np.float32)
+        img = np.asarray(preprocess_batch_spectrogram(jnp.asarray(x), nfft, hop))
+        T = (L - nfft) // hop + 1
+        assert img.shape == (1, 1, nfft, T)
+        # fftshifted: +0.25 cycles/sample lands at bin nfft/2 + nfft/4
+        peak_rows = img[0, 0].argmax(axis=0)
+        assert np.all(np.abs(peak_rows - (nfft // 2 + nfft // 4)) <= 1)
+
+    def test_standardized(self):
+        import jax.numpy as jnp
+        from vitiq.dsp.frontend import preprocess_batch_spectrogram
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((4, 512, 2)).astype(np.float32)
+        img = np.asarray(preprocess_batch_spectrogram(jnp.asarray(x)))
+        np.testing.assert_allclose(img.mean(axis=(2, 3)), 0.0, atol=1e-4)
+        np.testing.assert_allclose(img.std(axis=(2, 3)), 1.0, atol=1e-3)
+
+    def test_feeds_vit_arm(self):
+        import jax, jax.numpy as jnp
+        from vitiq.config import ModelConfig
+        from vitiq.dsp.frontend import preprocess_batch_spectrogram
+        from vitiq.models import init_amc_params, make_forward
+
+        # nfft=64, L=1024, hop=32 -> T=31; pad/crop handled by config choice
+        cfg = ModelConfig(arm="vit", num_classes=11, d_model=32, n_head=4,
+                          n_layers=1, ffn_hidden=64, img_size_h=64,
+                          img_size_w=28, patch_size=4)
+        params = init_amc_params(jax.random.PRNGKey(0), cfg)
+        x = jnp.zeros((2, 928, 2))  # (28-1)*32 + 64 = 928 samples -> T=28
+        img = preprocess_batch_spectrogram(x, nfft=64, hop=32)
+        logits = make_forward(cfg)(params, img)
+        assert logits.shape == (2, 11)

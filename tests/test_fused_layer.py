@@ -1,0 +1,56 @@
+"""Fused encoder-layer kernel vs the unfused reference path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from vitiq.models import layers as L
+from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer
+from vitiq.ops.numerics import REFERENCE
+
+
+@pytest.mark.parametrize("Lx,n_head", [(17, 4), (129, 8), (64, 8)])
+def test_matches_unfused_layer(Lx, n_head):
+    rng = np.random.default_rng(0)
+    B, D, H = 3, 128, 512
+    params = L.encoder_layer_init(jax.random.PRNGKey(0), D, H)
+    x = jnp.asarray(rng.standard_normal((B, Lx, D)), jnp.float32)
+    want = np.asarray(
+        L.encoder_layer_apply(params, x, n_head=n_head, drop_prob=0.0,
+                              rng=None, train=False, policy=REFERENCE)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_encoder_layer(x, params, n_head))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_padding_rows_do_not_leak():
+    """Valid rows must be independent of batch/sequence padding."""
+    rng = np.random.default_rng(1)
+    D, H, n_head = 128, 256, 8
+    params = L.encoder_layer_init(jax.random.PRNGKey(1), D, H)
+    x9 = jnp.asarray(rng.standard_normal((1, 9, D)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out9 = np.asarray(fused_encoder_layer(x9, params, n_head))
+    want = np.asarray(
+        L.encoder_layer_apply(params, x9, n_head=n_head, drop_prob=0.0,
+                              rng=None, train=False, policy=REFERENCE)
+    )
+    np.testing.assert_allclose(out9, want, atol=3e-5)
+
+
+def test_stacked_layers_match_encoder():
+    """Chaining fused layers == the unfused 2-layer encoder core."""
+    rng = np.random.default_rng(2)
+    B, Lx, D, H, n_head = 2, 33, 128, 512, 8
+    p1 = L.encoder_layer_init(jax.random.PRNGKey(2), D, H)
+    p2 = L.encoder_layer_init(jax.random.PRNGKey(3), D, H)
+    x = jnp.asarray(rng.standard_normal((B, Lx, D)), jnp.float32)
+    ref = L.encoder_layer_apply(p1, x, n_head, 0.0, None, False)
+    ref = np.asarray(L.encoder_layer_apply(p2, ref, n_head, 0.0, None, False))
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_encoder_layer(x, p1, n_head)
+        got = np.asarray(fused_encoder_layer(got, p2, n_head))
+    np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -302,6 +302,24 @@ class ExperimentConfig:
         return _apply_overrides(cfg, overrides)
 
     @classmethod
+    def vit_tiny_2016(cls, **overrides) -> "ExperimentConfig":
+        """ViT-Tiny for RadioML 2016.10a-style data (BASELINE.json config 2):
+        128-sample frames folded to [1, 16, 16] images, 11-class AMC. The
+        synthetic source covers the digital subset; point data at an HDF5
+        export for the real corpus."""
+        cfg = cls(
+            model=ModelConfig(arm="vit", num_classes=5, d_model=64, n_head=4,
+                              n_layers=4, ffn_hidden=256, drop_prob=0.1,
+                              img_size_h=16, img_size_w=16, patch_size=4,
+                              seq_length=128),
+            data=DataConfig(source="synthetic",
+                            synthetic_classes=("BPSK", "QPSK", "8PSK", "16QAM", "64QAM"),
+                            synthetic_frame_len=128),
+            train=TrainConfig(weight_decay=1e-4),
+        )
+        return _apply_overrides(cfg, overrides)
+
+    @classmethod
     def rawiq_reference(cls, **overrides) -> "ExperimentConfig":
         """The reference rawIQ arm's defaults (ref: transformer_rawIQ/training/train.py:84-106)."""
         cfg = cls(

@@ -128,6 +128,38 @@ def preprocess_batch_rawiq(x: jnp.ndarray, stats: Dict[str, float]) -> jnp.ndarr
     return ((x - mean) / std).transpose(0, 2, 1)
 
 
+def preprocess_batch_spectrogram(
+    x: jnp.ndarray,
+    nfft: int = 64,
+    hop: int = 32,
+    eps: float = 1e-10,
+) -> jnp.ndarray:
+    """[B, L, 2] I/Q frames -> [B, 1, nfft, T] log-magnitude spectrogram
+    images for the ViT arm (the spectrogram patchification input mode named in
+    BASELINE.json's north star).
+
+    Complex STFT with a Hann window; full two-sided spectrum (I/Q is complex
+    baseband, so negative frequencies carry information), fftshifted so DC is
+    centered, log10 magnitude, per-frame standardized. T = (L - nfft)//hop + 1.
+    """
+    B, L, _ = x.shape
+    if L < nfft:
+        raise ValueError(f"frame length {L} must be >= nfft ({nfft})")
+    sig = x[..., 0] + 1j * x[..., 1]
+    T = (L - nfft) // hop + 1
+    starts = jnp.arange(T) * hop
+    # gather windows: [B, T, nfft]
+    idx = starts[:, None] + jnp.arange(nfft)[None, :]
+    frames = sig[:, idx]
+    window = 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * jnp.arange(nfft) / nfft))
+    spec = jnp.fft.fft(frames * window, axis=-1)
+    mag = jnp.log10(jnp.abs(jnp.fft.fftshift(spec, axes=-1)) + eps)
+    img = mag.transpose(0, 2, 1)  # [B, nfft(freq), T(time)]
+    mean = img.mean(axis=(1, 2), keepdims=True)
+    std = jnp.maximum(img.std(axis=(1, 2), keepdims=True), 1e-6)
+    return ((img - mean) / std)[:, None, :, :].astype(jnp.float32)
+
+
 def preprocess_batch_mdf(x: jnp.ndarray, H: int = 32, W: int = 32):
     """The MDF-NET dual-stream transform (ref: ViT/MDF_NET.ipynb cell 7):
     [B, L, 2] raw frames -> (amplitude image [B, 1, H, W] scaled by per-frame

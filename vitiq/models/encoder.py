@@ -13,6 +13,7 @@ Pipeline (ref: ViT/models/encoder.py:34-53, transformer_rawIQ/models/encoder.py:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -86,6 +87,25 @@ def encoder_apply(
     else:
         x = dropout(x, cfg.drop_prob, None, train)
         layer_rngs = [None] * cfg.n_layers
+
+    # Inference under the bf16 TPU policy runs each layer as ONE fused Pallas
+    # kernel (attention + post-norms + FFN resident in VMEM) — this model is
+    # HBM-bandwidth-bound, and the fused layer cuts per-layer activation
+    # traffic ~10x. Dropout is identity in eval, so semantics are unchanged.
+    if (
+        not train
+        and mask is None
+        and policy.compute_dtype == jnp.bfloat16
+        and getattr(attention_fn, "packed_layout", False)  # fused-kernel family opted in
+        and jax.default_backend() == "tpu"
+        and os.environ.get("VITIQ_NO_FUSED_LAYER") != "1"
+    ):
+        from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer
+
+        x = policy.cast_compute(x)
+        for layer_params in params["layers"]:
+            x = fused_encoder_layer(x, layer_params, cfg.n_head)
+        return x
 
     for layer_params, layer_rng in zip(params["layers"], layer_rngs):
         x = encoder_layer_apply(

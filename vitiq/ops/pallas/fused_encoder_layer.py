@@ -1,0 +1,197 @@
+"""Fully-fused post-norm encoder layer (inference path).
+
+Why: at d_model=128 / L=129 the encoder is HBM-bandwidth-bound — the unfused
+layer moves every activation tensor through HBM ~9 times (QKV, attention out,
+projection, two LN passes, FFN hidden at 4x width, FFN out). This kernel
+keeps the entire layer resident in VMEM per block of G batch rows:
+
+    x -> fused QKV GEMM -> per-head attention (scores never leave VMEM)
+      -> output projection -> +residual -> LayerNorm (f32 stats)
+      -> FFN (ReLU) -> +residual -> LayerNorm -> out
+
+HBM traffic per layer: read x + weights, write out — ~10x less than unfused.
+Semantics are the reference's exact post-norm / biased-variance eps=1e-12 LN /
+ReLU chain (ref: ViT/models/blocks/encoder_layer.py:18-35) minus dropout, so
+it is used for INFERENCE ONLY (train keeps the differentiable unfused path;
+dropout is identity in eval anyway, torch semantics).
+
+Layout rules as in flash_attention.py: packed heads, static lane slices, no
+lane-splitting reshapes, per-head streaming into a VMEM scratch accumulator.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+LN_EPS = 1e-12
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _layer_norm(x, gamma, beta, out_dtype):
+    """f32-stat biased-variance LN over the last dim, cast to out_dtype."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
+    return (gamma * out + beta).astype(out_dtype)
+
+
+def _fused_layer_kernel(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    g1_ref, be1_ref, w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
+    o_ref, attn_scratch,
+    *, seq_len: int, n_head: int, scale: float,
+):
+    g, lp, d = x_ref.shape
+    dh = d // n_head
+    x = x_ref[:]
+
+    # ---- fused QKV projection: [G, Lp, D] @ [D, 3D] -------------------------
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:]
+    qkv = qkv.astype(x.dtype)
+
+    # ---- per-head attention (see flash_attention.py for the layout notes) ---
+    key_bias = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, lp), dimension=2) < seq_len,
+        0.0, _NEG_INF,
+    ).astype(jnp.float32)
+    for h in range(n_head):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = qkv[:, :, h * dh:(h + 1) * dh].astype(jnp.float32)
+        k = qkv[:, :, d + h * dh:d + (h + 1) * dh].astype(jnp.float32)
+        v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        # exp2 lowers to the VPU's native base-2 exponential (exp(x) =
+        # 2^(x*log2 e)); the log2e factor folds into the existing scale mul
+        probs = jnp.exp2(scores * 1.4426950408889634 + key_bias)
+        denom = jnp.sum(probs, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            probs.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        attn_scratch[:, :, sl] = (out / denom).astype(attn_scratch.dtype)
+
+    # ---- output projection + residual + LN1 ---------------------------------
+    proj = jax.lax.dot_general(
+        attn_scratch[:], wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[:]
+    x1 = _layer_norm(proj + x.astype(jnp.float32), g1_ref[:], be1_ref[:], x.dtype)
+
+    # ---- FFN + residual + LN2 ------------------------------------------------
+    hmid = jax.lax.dot_general(
+        x1, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:]
+    hmid = jnp.maximum(hmid, 0.0).astype(x.dtype)
+    y = jax.lax.dot_general(
+        hmid, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:]
+    o_ref[:] = _layer_norm(y + x1.astype(jnp.float32), g2_ref[:], be2_ref[:],
+                           o_ref.dtype)
+
+
+def _pick_batch_block(Lp: int, D: int, H: int, itemsize: int) -> int:
+    for g in (16, 8, 4, 2, 1):
+        x_like = g * Lp * D  # x / qkv(3x) / attn / out blocks
+        vmem = (
+            2 * 2 * x_like * itemsize          # in/out double-buffered
+            + 3 * x_like * itemsize            # qkv
+            + x_like * itemsize                # attn scratch
+            + 2 * g * Lp * Lp * 4              # scores + probs (f32)
+            + 2 * g * Lp * H * itemsize        # ffn hidden (+relu copy)
+            + 3 * x_like * 4                   # f32 LN temps / residuals
+        )
+        if vmem <= 10 * 1024 * 1024:
+            return g
+    return 1
+
+
+def fused_encoder_layer(
+    x: jnp.ndarray,
+    layer_params,
+    n_head: int,
+    seq_len: Optional[int] = None,
+) -> jnp.ndarray:
+    """x: [B, L, D] (bf16 or f32) -> [B, L, D] through one fused layer.
+
+    `layer_params` is the standard vitiq encoder-layer param dict. seq_len
+    defaults to L (callers that pre-pad pass the true length).
+    """
+    B, L, D = x.shape
+    seq_len = L if seq_len is None else seq_len
+    ap = layer_params["attention"]
+    wqkv = jnp.concatenate(
+        [ap["w_q"]["kernel"], ap["w_k"]["kernel"], ap["w_v"]["kernel"]], axis=1
+    ).astype(x.dtype)
+    bqkv = jnp.concatenate(
+        [ap["w_q"]["bias"], ap["w_k"]["bias"], ap["w_v"]["bias"]]
+    ).astype(jnp.float32)
+    wo = ap["w_concat"]["kernel"].astype(x.dtype)
+    bo = ap["w_concat"]["bias"].astype(jnp.float32)
+    ffn = layer_params["ffn"]
+    w1 = ffn["linear1"]["kernel"].astype(x.dtype)
+    b1 = ffn["linear1"]["bias"].astype(jnp.float32)
+    w2 = ffn["linear2"]["kernel"].astype(x.dtype)
+    b2 = ffn["linear2"]["bias"].astype(jnp.float32)
+    g1 = layer_params["norm1"]["gamma"].astype(jnp.float32)
+    be1 = layer_params["norm1"]["beta"].astype(jnp.float32)
+    g2 = layer_params["norm2"]["gamma"].astype(jnp.float32)
+    be2 = layer_params["norm2"]["beta"].astype(jnp.float32)
+    H = w1.shape[1]
+
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    Lp = _round_up(L, sublane)
+    G = _pick_batch_block(Lp, D, H, x.dtype.itemsize)
+    Bp = _round_up(B, G)
+    xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
+
+    kernel = functools.partial(
+        _fused_layer_kernel, seq_len=seq_len, n_head=n_head,
+        scale=1.0 / ((D // n_head) ** 0.5),
+    )
+    data_block = pl.BlockSpec((G, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def rep(shape):  # weights replicated to every program
+        index_map = lambda i: tuple(0 for _ in shape)
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // G,),
+        in_specs=[
+            data_block,
+            rep(wqkv.shape), rep(bqkv.shape), rep(wo.shape), rep(bo.shape),
+            rep(g1.shape), rep(be1.shape),
+            rep(w1.shape), rep(b1.shape), rep(w2.shape), rep(b2.shape),
+            rep(g2.shape), rep(be2.shape),
+        ],
+        out_specs=data_block,
+        out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
+        scratch_shapes=[pltpu.VMEM((G, Lp, D), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * Lp * D * (4 * D + 2 * H)
+            + 4 * Bp * n_head * Lp * Lp * (D // n_head),
+            bytes_accessed=2 * Bp * Lp * D * x.dtype.itemsize,
+            transcendentals=Bp * n_head * Lp * Lp,
+        ),
+    )(xp, wqkv, bqkv, wo, bo, g1, be1, w1, b1, w2, b2, g2, be2)
+    return out[:B, :L, :]
