@@ -181,3 +181,30 @@ class TestCompileCache:
         enable_persistent_compilation_cache()
         assert (tmp_path / "cc").is_dir()
         assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+
+
+class TestEvalConfigFallback:
+    def test_embedded_checkpoint_config_used(self, tmp_path):
+        """config.json missing -> run_evaluation falls back to the config
+        embedded in the checkpoint manifest (reference evaluate.py behavior)."""
+        from vitiq.config import DataConfig, ExperimentConfig, TrainConfig
+        from vitiq.runner import run_evaluation, run_training
+
+        cfg = ExperimentConfig(
+            model=ModelConfig(arm="rawiq", num_classes=2, d_model=16, n_head=2,
+                              n_layers=1, ffn_hidden=32, seq_length=64,
+                              segment_size=16),
+            data=DataConfig(source="synthetic",
+                            synthetic_classes=("BPSK", "QPSK"),
+                            synthetic_frames_per_class=64,
+                            synthetic_frame_len=64),
+            train=TrainConfig(batch_size=16, num_epochs=1),
+            experiment_name="fb",
+            checkpoint_dir=str(tmp_path / "ck"),
+            log_dir=str(tmp_path / "logs"),
+        )
+        run_training(cfg, evaluate_test=False, verbose=False)
+        exp_dir = tmp_path / "ck" / "fb"
+        (exp_dir / "config.json").unlink()
+        res = run_evaluation(str(exp_dir), dataset="test", verbose=False)
+        assert 0.0 <= res["overall_accuracy"] <= 1.0

@@ -206,8 +206,27 @@ def run_evaluation(
     evaluate.py flow: re-derive split + stats deterministically, rebuild the
     model, load weights, evaluate — ref: ViT/training/evaluate.py:42-226)."""
     exp_dir = Path(checkpoint_dir)
-    cfg = ExperimentConfig.from_json(str(Path(config_path) if config_path
-                                         else exp_dir / "config.json"))
+    cfg_file = Path(config_path) if config_path else exp_dir / "config.json"
+    if cfg_file.exists():
+        cfg = ExperimentConfig.from_json(str(cfg_file))
+    else:
+        # fall back to the config embedded in a checkpoint manifest, like the
+        # reference's evaluate.py reads checkpoint['config']
+        # (ref: ViT/training/evaluate.py:60-87)
+        embedded = None
+        for name in ("checkpoint_final.json", "checkpoint_interrupted.json"):
+            p = exp_dir / name
+            if p.exists():
+                manifest = json.loads(p.read_text())
+                if manifest.get("config"):
+                    embedded = manifest["config"]
+                    break
+        if embedded is None:
+            raise FileNotFoundError(
+                f"no config.json in {exp_dir} and no checkpoint manifest with an "
+                f"embedded config — pass --config explicitly"
+            )
+        cfg = ExperimentConfig.from_dict(embedded)
     if batch_size:
         cfg.train.batch_size = batch_size
 

@@ -237,6 +237,9 @@ def fit(
             f"({len(x_train)}); train batches drop the final partial batch, so "
             f"no step would ever run"
         )
+    if len(x_valid) == 0:
+        raise ValueError("validation set is empty — plateau LR and early stopping "
+                         "need a validation metric")
 
     result = FitResult(state=state, best_params=None, history=history)
     with mesh:
