@@ -13,7 +13,6 @@ Works over any "label source": the HDF5 file's Y/Z datasets
 from __future__ import annotations
 
 import json
-from pathlib import Path
 from typing import Dict, List, NamedTuple, Sequence, Tuple
 
 import numpy as np

@@ -15,7 +15,6 @@ into the downstream classifier jit.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

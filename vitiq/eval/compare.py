@@ -15,7 +15,7 @@ parses two classification-report text files (ViT arm vs raw-IQ arm), emits
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 

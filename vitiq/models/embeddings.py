@@ -24,7 +24,6 @@ reference checkpoint can be imported by transposing [d, in, p, p] ->
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from vitiq.models.layers import linear_init, linear_apply

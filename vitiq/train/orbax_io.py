@@ -15,8 +15,6 @@ import json
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
-import jax
-
 from vitiq.config import ExperimentConfig
 from vitiq.train.optim import TrainState
 

@@ -14,7 +14,7 @@ generator otherwise (so the tool is runnable without the 20 GB download).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
