@@ -52,30 +52,27 @@ def _default_inner() -> int:
 
 
 def _time_amortized(step_fn: Callable, args, steps: int, inner: int) -> Dict[str, float]:
-    """Honest device timing: run `inner` iterations of step_fn INSIDE one jit
-    (inputs perturbed per iteration so XLA cannot hoist the computation out of
-    the loop), fetch a scalar result to the host, and report the median
-    per-iteration time.
+    """Honest device timing with per-dispatch overhead amortized.
 
     Per-call wall timing through a remote-dispatch transport was observed to
     under-report by orders of magnitude (completion acks without device
-    execution); an in-jit scan + host scalar fetch lower-bounds real compute.
+    execution). Wrapping the loop in an in-jit lax.scan is honest but makes
+    the remote AOT compile pathologically slow for large fused programs, so
+    instead `inner` independent calls (inputs perturbed per iteration so a
+    result can't be reused) are enqueued asynchronously and ONE value fetch at
+    the end forces completion of the whole FIFO queue; total wall / inner is
+    the per-iteration time. Only the single step compiles.
     """
-
-    @jax.jit
-    def run(*args):
-        def body(carry, i):
-            out = step_fn(i, *args)
-            return carry + jnp.sum(out.astype(jnp.float32)), None
-
-        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(inner))
-        return total
-
-    float(run(*args))  # compile + warm up
+    run = jax.jit(step_fn)
+    idx = [jnp.asarray(i, jnp.float32) for i in range(inner + 1)]
+    float(jnp.sum(run(idx[0], *args).astype(jnp.float32)))  # compile + warm up
     times = []
     for _ in range(max(steps // inner, 3)):
         t0 = time.perf_counter()
-        float(run(*args))  # scalar fetch forces full completion
+        out = None
+        for i in range(inner):
+            out = run(idx[i + 1], *args)
+        float(jnp.sum(out.astype(jnp.float32)))  # drains the device queue
         times.append((time.perf_counter() - t0) / inner)
     times = np.asarray(times)
     return {"p50_s": float(np.median(times)), "best_s": float(times.min()),
