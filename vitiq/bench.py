@@ -113,6 +113,38 @@ def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
     }
 
 
+def bench_int8_infer(arm: str = "vit", batch_size: Optional[int] = None,
+                     steps: int = 30) -> Dict:
+    """End-to-end inference with the int8 W8A8 serving path."""
+    from vitiq.ops.quant import make_quantized_forward, quantize_params_int8
+
+    batch_size = batch_size or _default_batch()
+    cfg = flagship_vit_config("tpu") if arm == "vit" else flagship_rawiq_config("tpu")
+    params = init_amc_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params_int8(params)
+    qfwd = make_quantized_forward(cfg)
+    if arm == "vit":
+        pre = lambda x: preprocess_batch_vit(x, FLAGSHIP_STATS)
+    else:
+        pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
+
+    def infer(i, qparams, x):
+        xi = x + i.astype(x.dtype) * 1e-6
+        return qfwd(qparams, pre(xi)).argmax(axis=-1)
+
+    x = jax.device_put(jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch_size, cfg.seq_length, 2)), jnp.float32))
+    t = _time_amortized(infer, (qparams, x), steps, _default_inner())
+    return {
+        "metric": f"iq_frames_per_sec_per_chip_{arm}_int8",
+        "value": batch_size / t["p50_s"],
+        "unit": "frames/s",
+        "batch_size": batch_size,
+        "p50_latency_ms": t["p50_s"] * 1e3,
+        "backend": jax.default_backend(),
+    }
+
+
 def bench_train_step(arm: str = "vit", batch_size: Optional[int] = None,
                      steps: int = 20, numerics: str = "tpu") -> Dict:
     """Full fused train-step frames/sec/chip (fwd+bwd+AdamW)."""
@@ -188,6 +220,8 @@ def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = N
         return bench_fused_infer("vit", batch_size, steps)
     if which == "rawiq_infer":
         return bench_fused_infer("rawiq", batch_size, steps)
+    if which == "int8_infer":
+        return bench_int8_infer("vit", batch_size, steps)
     if which == "train_step":
         return bench_train_step("vit", batch_size, steps)
     if which == "dsp_frontend":
@@ -196,6 +230,7 @@ def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = N
         return {
             "fused_vit_infer": bench_fused_infer("vit", batch_size, steps),
             "rawiq_infer": bench_fused_infer("rawiq", batch_size, steps),
+            "int8_infer": bench_int8_infer("vit", batch_size, steps),
             "train_step": bench_train_step("vit", batch_size, steps),
             "dsp_frontend": bench_dsp_frontend(batch_size, steps),
         }
