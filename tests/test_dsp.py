@@ -207,3 +207,70 @@ class TestSpectrogram:
         img = preprocess_batch_spectrogram(x, nfft=64, hop=32)
         logits = make_forward(cfg)(params, img)
         assert logits.shape == (2, 11)
+
+
+class TestFusedSPSFrontend:
+    def test_sps1_identity(self):
+        import jax.numpy as jnp
+        from vitiq.dsp.frontend import preprocess_batch_sps
+
+        x = np.random.default_rng(0).standard_normal((2, 64, 2)).astype(np.float32)
+        out = np.asarray(preprocess_batch_sps(jnp.asarray(x), sps=1))
+        np.testing.assert_array_equal(out, x)
+
+    def test_matches_extract_symbols_energy(self):
+        """The batched fused path must pick the same symbols as the host-side
+        extract_symbols(..., 'simple_energy') contract implementation."""
+        import jax.numpy as jnp
+        from vitiq.dsp.frontend import preprocess_batch_sps
+
+        i, q, _ = generate_test_signal("QPSK", num_symbols=128, sps=2,
+                                       snr_db=20, seed=9)
+        ref = extract_symbols(i, q, sps=2, method="simple_energy")
+        x = np.stack([i, q], -1)[None].astype(np.float32)
+        fused = np.asarray(preprocess_batch_sps(jnp.asarray(x), sps=2))[0]
+        np.testing.assert_allclose(fused[:, 0], ref["symbol_i"], atol=2e-5)
+        np.testing.assert_allclose(fused[:, 1], ref["symbol_q"], atol=2e-5)
+
+    def test_batched_per_frame_phases(self):
+        """Frames with different true phases each get their own pick."""
+        import jax.numpy as jnp
+        from vitiq.dsp.frontend import preprocess_batch_sps
+
+        i0, q0, _ = generate_test_signal("QPSK", num_symbols=64, sps=4,
+                                         snr_db=25, seed=10)
+        # shift the second frame by one sample (different optimal phase)
+        i1, q1 = np.roll(i0, 1), np.roll(q0, 1)
+        x = np.stack([np.stack([i0, q0], -1), np.stack([i1, q1], -1)]).astype(np.float32)
+        out = np.asarray(preprocess_batch_sps(jnp.asarray(x), sps=4))
+        assert out.shape == (2, 64, 2)
+        # recovered symbol energies should be comparable for both frames
+        e = (out[..., 0] ** 2 + out[..., 1] ** 2).mean(axis=1)
+        np.testing.assert_allclose(e[0], e[1], rtol=0.15)
+
+    def test_jittable_and_classifier_feedable(self):
+        import jax, jax.numpy as jnp
+        from vitiq.dsp.frontend import preprocess_batch_sps
+        from vitiq.config import ModelConfig
+        from vitiq.models import init_amc_params, make_forward
+
+        cfg = ModelConfig(arm="rawiq", num_classes=3, d_model=32, n_head=4,
+                          n_layers=1, ffn_hidden=64, seq_length=64, segment_size=16)
+        params = init_amc_params(jax.random.PRNGKey(0), cfg)
+        fwd = make_forward(cfg)
+
+        @jax.jit
+        def pipeline(params, x):
+            syms = preprocess_batch_sps(x, sps=2)  # [B, 64, 2]
+            return fwd(params, syms.transpose(0, 2, 1))
+
+        x = jnp.asarray(np.random.default_rng(1).standard_normal((4, 128, 2)),
+                        jnp.float32)
+        assert pipeline(params, x).shape == (4, 3)
+
+    def test_bad_length(self):
+        import jax.numpy as jnp
+        from vitiq.dsp.frontend import preprocess_batch_sps
+
+        with pytest.raises(ValueError):
+            preprocess_batch_sps(jnp.zeros((1, 65, 2)), sps=2)

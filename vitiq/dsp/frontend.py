@@ -128,6 +128,37 @@ def preprocess_batch_rawiq(x: jnp.ndarray, stats: Dict[str, float]) -> jnp.ndarr
     return ((x - mean) / std).transpose(0, 2, 1)
 
 
+def preprocess_batch_sps(x: jnp.ndarray, sps: int, alpha: float = 0.35,
+                         span: int = 8) -> jnp.ndarray:
+    """Fused SPS-aware front-end (BASELINE.json config 3), fully batched/jit:
+
+    sps == 1: identity (RadioML rule — every sample is a symbol).
+    sps >= 2: RRC matched filter (one grouped conv over the batch) ->
+    per-frame energy phase pick (vectorized over all sps phases) -> decimate
+    at the chosen phase. [B, L, 2] -> [B, L//sps, 2] symbols.
+
+    The per-frame phase is a traced index (jnp.take along the phase axis), so
+    the whole front-end stays inside one jit program feeding the classifier —
+    the batched equivalent of extract_symbols(..., method='simple_energy').
+    """
+    if sps == 1:
+        return x
+    from vitiq.dsp.filtering import matched_filter_batch
+
+    B, L, _ = x.shape
+    if L % sps:
+        raise ValueError(f"frame length {L} must be a multiple of sps ({sps})")
+    filtered = matched_filter_batch(x, sps=sps, alpha=alpha, span=span)
+    n_sym = L // sps
+    # [B, n_sym, sps, 2]: candidate symbol streams for each decimation phase
+    phased = filtered.reshape(B, n_sym, sps, 2)
+    energy = jnp.sum(phased[..., 0] ** 2 + phased[..., 1] ** 2, axis=1)  # [B, sps]
+    best = jnp.argmax(energy, axis=-1)  # [B]
+    return jnp.take_along_axis(
+        phased, best[:, None, None, None], axis=2
+    )[:, :, 0, :]
+
+
 def preprocess_batch_spectrogram(
     x: jnp.ndarray,
     nfft: int = 64,
