@@ -208,3 +208,30 @@ class TestEvalConfigFallback:
         (exp_dir / "config.json").unlink()
         res = run_evaluation(str(exp_dir), dataset="test", verbose=False)
         assert 0.0 <= res["overall_accuracy"] <= 1.0
+
+
+class TestCorruptResume:
+    def test_resume_from_garbage_starts_fresh(self, tmp_path, capsys):
+        """A corrupt/missing --resume checkpoint falls back to fresh training
+        (ref: transformer_rawIQ/training/train.py:532-541)."""
+        from vitiq.config import DataConfig, ExperimentConfig, TrainConfig
+        from vitiq.runner import run_training
+
+        (tmp_path / "bad.npz").write_bytes(b"not a checkpoint")
+        cfg = ExperimentConfig(
+            model=ModelConfig(arm="rawiq", num_classes=2, d_model=16, n_head=2,
+                              n_layers=1, ffn_hidden=32, seq_length=64,
+                              segment_size=16),
+            data=DataConfig(source="synthetic",
+                            synthetic_classes=("BPSK", "QPSK"),
+                            synthetic_frames_per_class=48,
+                            synthetic_frame_len=64),
+            train=TrainConfig(batch_size=16, num_epochs=1),
+            experiment_name="corrupt",
+            checkpoint_dir=str(tmp_path / "ck"),
+            log_dir=str(tmp_path / "logs"),
+        )
+        summary = run_training(cfg, resume=str(tmp_path / "bad"), verbose=False,
+                               evaluate_test=False)
+        assert summary["epochs_run"] == 1
+        assert "could not resume" in capsys.readouterr().out
