@@ -159,12 +159,12 @@ class TestHDF5Source:
                          target_modulations=("BPSK", "QPSK", "16QAM"))
         s = src.split(cfg)
         batches = list(src.batch_stream(s.train, s.label_map, batch_size=32,
-                                        seed=3, read_chunk=64))
+                                        seed=3, window_rows=64))
         assert all(b[0].shape == (32, 64, 2) for b in batches)
         assert len(batches) == len(s.train) // 32 - (1 if len(s.train) % 64 < 32 and len(s.train) % 64 else 0) or len(batches) > 0
         # determinism given seed
         again = list(src.batch_stream(s.train, s.label_map, batch_size=32,
-                                      seed=3, read_chunk=64))
+                                      seed=3, window_rows=64))
         np.testing.assert_array_equal(batches[0][0], again[0][0])
 
     def test_packed_roundtrip(self, small_hdf5, tmp_path):

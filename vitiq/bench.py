@@ -214,6 +214,71 @@ def bench_dsp_frontend(batch_size: Optional[int] = None, steps: int = 30,
     }
 
 
+def bench_ingestion(num_frames: int = 65536, frame_len: int = 1024,
+                    batch_size: int = 1024, tmp_dir: Optional[str] = None) -> Dict:
+    """Host ingestion throughput: HDF5 chunked-shuffled streaming vs packed
+    mmap .npy shards, both through the background Prefetcher (the two storage
+    paths of SURVEY.md §7.3's 1M frames/s ingestion problem)."""
+    import json
+    import tempfile
+
+    import h5py
+
+    from vitiq.data import (HDF5DataSource, PackedDataSource, Prefetcher,
+                            pack_split_to_npy)
+
+    tmp = tempfile.mkdtemp(dir=tmp_dir)
+    path = f"{tmp}/bench.hdf5"
+    rng = np.random.default_rng(0)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("X", data=rng.standard_normal(
+            (num_frames, frame_len, 2)).astype(np.float32))
+        y = np.zeros((num_frames, 2), np.int64)
+        y[:, 0] = 1
+        f.create_dataset("Y", data=y)
+        f.create_dataset("Z", data=np.zeros((num_frames, 1), np.float32))
+    (lambda p: p.write_text(json.dumps(["A", "B"])))(__import__("pathlib").Path(f"{tmp}/c.json"))
+
+    src = HDF5DataSource(path, f"{tmp}/c.json")
+    indices = np.arange(num_frames)
+    label_map = {"A": 0, "B": 1}
+    frame_bytes = frame_len * 2 * 4
+
+    def drain(it) -> float:
+        t0 = time.perf_counter()
+        n = 0
+        for bx, *_ in it:
+            n += len(bx)
+        return n / (time.perf_counter() - t0)
+
+    hdf5_fps = drain(Prefetcher(src.batch_stream(indices, label_map, batch_size,
+                                                 seed=0), prefetch_depth=4))
+    packed_dir = pack_split_to_npy(src, indices, label_map, f"{tmp}/packed")
+    packed = PackedDataSource(packed_dir)
+    rng2 = np.random.default_rng(1)
+
+    def packed_stream():
+        order = rng2.permutation(num_frames)
+        for s in range(0, num_frames - batch_size + 1, batch_size):
+            rows = np.sort(order[s:s + batch_size])
+            yield (packed.read_rows(rows),)
+
+    packed_fps = drain(Prefetcher(packed_stream(), prefetch_depth=4))
+    src.close()
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "metric": "ingestion_frames_per_sec",
+        "hdf5_stream_fps": hdf5_fps,
+        "hdf5_stream_gbps": hdf5_fps * frame_bytes / 1e9,
+        "packed_mmap_fps": packed_fps,
+        "packed_mmap_gbps": packed_fps * frame_bytes / 1e9,
+        "value": packed_fps,
+        "unit": "frames/s",
+    }
+
+
 def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = None,
                    steps: int = 30) -> Dict:
     if which == "fused_vit_infer":
@@ -226,6 +291,8 @@ def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = N
         return bench_train_step("vit", batch_size, steps)
     if which == "dsp_frontend":
         return bench_dsp_frontend(batch_size, steps)
+    if which == "ingestion":
+        return bench_ingestion()
     if which == "all":
         return {
             "fused_vit_infer": bench_fused_infer("vit", batch_size, steps),

@@ -106,29 +106,53 @@ class HDF5DataSource:
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = True,
-        read_chunk: int = 4096,
+        window_rows: int = 65536,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """One epoch of (x, y, snr) batches.
+        """One epoch of (x, y, snr) batches via windowed sequential reads.
 
-        Epoch shuffle happens at read_chunk granularity + in-chunk permutation:
-        chunks of the (shuffled) index list are read sorted for IO speed, then
-        shuffled within the buffer — the standard streaming-shuffle tradeoff
-        replacing the reference's fully random per-row worker reads.
+        h5py fancy-index reads run ~17x slower than contiguous slice reads
+        (measured), so the epoch is read as sequential `window_rows` slices of
+        the file with the split's rows selected in memory; randomness comes
+        from shuffling the WINDOW ORDER plus a within-window permutation — the
+        standard streaming shuffle-buffer tradeoff replacing the reference's
+        fully random per-row worker reads. Stratified splits scatter ~70% of
+        rows uniformly, so the over-read is ~1.4x at ~17x the row rate.
         """
         rng = np.random.default_rng(seed)
-        idx = np.asarray(indices)
+        rows_sorted = np.sort(np.asarray(indices))
+        n_total = self.total_samples
+        windows = list(range(0, n_total, window_rows))
         if shuffle:
-            idx = idx[rng.permutation(len(idx))]
-        for start in range(0, len(idx), read_chunk):
-            chunk_rows = idx[start:start + read_chunk]
-            x = self.read_rows(np.asarray(chunk_rows))
-            y = self.labels_for(chunk_rows, label_map)
-            z = self.snrs_for(chunk_rows)
+            rng.shuffle(windows)
+
+        x_dset = self._x()
+        leftover = None  # (x, y, z) remainder carried across windows
+        for w0 in windows:
+            w1 = min(w0 + window_rows, n_total)
+            lo = np.searchsorted(rows_sorted, w0)
+            hi = np.searchsorted(rows_sorted, w1)
+            if lo == hi:
+                continue
+            sel_rows = rows_sorted[lo:hi]
+            block = x_dset[w0:w1]  # ONE contiguous read
+            x = block[sel_rows - w0]
+            y = self.labels_for(sel_rows, label_map)
+            z = self.snrs_for(sel_rows)
             if shuffle:
-                perm = rng.permutation(len(chunk_rows))
+                perm = rng.permutation(len(sel_rows))
                 x, y, z = x[perm], y[perm], z[perm]
-            for b in range(0, len(x) - (batch_size - 1 if drop_last else 0), batch_size):
+            if leftover is not None:
+                x = np.concatenate([leftover[0], x])
+                y = np.concatenate([leftover[1], y])
+                z = np.concatenate([leftover[2], z])
+                leftover = None
+            n_full = (len(x) // batch_size) * batch_size
+            for b in range(0, n_full, batch_size):
                 yield x[b:b + batch_size], y[b:b + batch_size], z[b:b + batch_size]
+            if n_full < len(x):
+                leftover = (x[n_full:], y[n_full:], z[n_full:])
+        if leftover is not None and not drop_last:
+            yield leftover
 
 
 def pack_split_to_npy(
