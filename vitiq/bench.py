@@ -279,6 +279,69 @@ def bench_ingestion(num_frames: int = 65536, frame_len: int = 1024,
     }
 
 
+def bench_e2e_serving(num_frames: int = 65536, batch_size: Optional[int] = None,
+                      tmp_dir: Optional[str] = None) -> Dict:
+    """Sustained end-to-end serving rate: packed mmap shards -> background
+    prefetch thread (issues H2D ahead of the consumer) -> fused DSP+ViT
+    inference. This is the whole-pipeline counterpart of bench_fused_infer's
+    compute-only number."""
+    import tempfile
+
+    from vitiq.data import Prefetcher
+
+    batch_size = batch_size or _default_batch()
+    num_frames = max(num_frames, 4 * batch_size)
+    cfg = flagship_vit_config("tpu")
+    params = init_amc_params(jax.random.PRNGKey(0), cfg)
+    fwd = make_forward(cfg)
+    pre = lambda x: preprocess_batch_vit(x, FLAGSHIP_STATS)
+
+    @jax.jit
+    def infer(params, x):
+        return fwd(params, pre(x), train=False).argmax(axis=-1)
+
+    tmp = tempfile.mkdtemp(dir=tmp_dir)
+    rng = np.random.default_rng(0)
+    shards = []
+    shard_rows = 16384
+    for s in range(0, num_frames, shard_rows):
+        rows = min(shard_rows, num_frames - s)
+        p = f"{tmp}/x_{s}.npy"
+        np.save(p, rng.standard_normal((rows, cfg.seq_length, 2)).astype(np.float32))
+        shards.append(np.load(p, mmap_mode="r"))
+
+    def batches():
+        for shard in shards:
+            for b in range(0, len(shard) - batch_size + 1, batch_size):
+                yield np.asarray(shard[b:b + batch_size])
+
+    # warm up the compile outside the timed region
+    warm = jnp.zeros((batch_size, cfg.seq_length, 2), jnp.float32)
+    jax.block_until_ready(infer(params, warm))
+
+    t0 = time.perf_counter()
+    n = 0
+    out = None
+    for bx in Prefetcher(batches(), prefetch_depth=4,
+                         transform=lambda b: jax.device_put(b)):
+        out = infer(params, bx)
+        n += batch_size
+    _ = np.asarray(out)  # drain the device queue
+    wall = time.perf_counter() - t0
+
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "metric": "e2e_serving_frames_per_sec",
+        "value": n / wall,
+        "unit": "frames/s",
+        "frames": n,
+        "batch_size": batch_size,
+        "backend": jax.default_backend(),
+    }
+
+
 def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = None,
                    steps: int = 30) -> Dict:
     if which == "fused_vit_infer":
@@ -293,6 +356,8 @@ def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = N
         return bench_dsp_frontend(batch_size, steps)
     if which == "ingestion":
         return bench_ingestion()
+    if which == "e2e_serving":
+        return bench_e2e_serving(batch_size=batch_size)
     if which == "all":
         return {
             "fused_vit_infer": bench_fused_infer("vit", batch_size, steps),

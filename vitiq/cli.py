@@ -203,7 +203,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("bench", help="Throughput / latency benchmarks")
     p.add_argument("--which", default="fused_vit_infer",
                    choices=["fused_vit_infer", "rawiq_infer", "int8_infer",
-                            "train_step", "dsp_frontend", "ingestion", "all"])
+                            "train_step", "dsp_frontend", "ingestion",
+                            "e2e_serving", "all"])
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--steps", type=int, default=30)
     p.set_defaults(fn=cmd_bench)

@@ -163,9 +163,13 @@ def _fwd(q, k, v, n_head):
 def _bwd(n_head, residuals, g):
     # Flash-style backward: recompute attention under XLA (fused by the
     # compiler) instead of saving the [B, H, L, L] probability tensor.
+    # The recompute must match the primal's output dtype (bf16 under the TPU
+    # policy) or jax.vjp rejects the cotangent.
     q, k, v = residuals
     _, vjp = jax.vjp(
-        lambda q_, k_, v_: _xla_packed_attention(q_, k_, v_, n_head, REFERENCE), q, k, v
+        lambda q_, k_, v_: _xla_packed_attention(q_, k_, v_, n_head, REFERENCE)
+        .astype(q.dtype),
+        q, k, v,
     )
     return vjp(g)
 
