@@ -235,3 +235,33 @@ class TestCorruptResume:
                                evaluate_test=False)
         assert summary["epochs_run"] == 1
         assert "could not resume" in capsys.readouterr().out
+
+
+class TestFeatureKnob:
+    def test_amp_phase_features_via_runner(self, tmp_path):
+        from vitiq.config import DataConfig, ExperimentConfig, TrainConfig
+        from vitiq.runner import run_training
+
+        cfg = ExperimentConfig(
+            model=ModelConfig(arm="rawiq", num_classes=2, d_model=16, n_head=2,
+                              n_layers=1, ffn_hidden=32, seq_length=64,
+                              segment_size=16),
+            data=DataConfig(source="synthetic", features="amp_phase",
+                            synthetic_classes=("BPSK", "16QAM"),
+                            synthetic_frames_per_class=48,
+                            synthetic_frame_len=64),
+            train=TrainConfig(batch_size=16, num_epochs=1),
+            experiment_name="ap",
+            checkpoint_dir=str(tmp_path / "ck"),
+            log_dir=str(tmp_path / "logs"),
+        )
+        s = run_training(cfg, verbose=False)
+        assert s["epochs_run"] == 1
+
+    def test_cli_flag_reaches_config(self):
+        from vitiq.cli import build_parser, _config_from_args
+
+        args = build_parser().parse_args(["train", "--arm", "rawiq",
+                                          "--source", "synthetic",
+                                          "--features", "amp_phase"])
+        assert _config_from_args(args).data.features == "amp_phase"

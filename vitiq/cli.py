@@ -21,6 +21,9 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--config", type=str, help="Path to experiment config JSON")
     # data
     p.add_argument("--source", choices=["synthetic", "hdf5"], default=None)
+    p.add_argument("--features", choices=["iq", "amp_phase"], default=None,
+                   help="rawiq input features: raw I/Q (reference) or the "
+                        "MDF amplitude/phase transform")
     p.add_argument("--file_path", type=str, help="Path to HDF5 data file")
     p.add_argument("--json_path", type=str, help="Path to classes JSON file")
     # training
@@ -59,6 +62,7 @@ def _config_from_args(args) -> ExperimentConfig:
         cfg.model.__post_init__()  # re-derive in_channels for the arm
     overrides = {
         "data.source": args.source,
+        "data.features": args.features,
         "data.file_path": args.file_path,
         "data.json_path": args.json_path,
         "train.batch_size": args.batch_size,

@@ -135,6 +135,9 @@ class DataConfig:
     """
 
     source: str = "synthetic"  # 'synthetic' | 'hdf5'
+    # input features for the rawiq arm: 'iq' (reference behavior) or
+    # 'amp_phase' (the MDF-NET dual-domain transform, vitiq extension)
+    features: str = "iq"
     file_path: str = ""
     json_path: str = ""
     target_modulations: Tuple[str, ...] = TARGET_MODULATIONS_19

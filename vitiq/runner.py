@@ -39,6 +39,10 @@ def build_preprocess(cfg: ExperimentConfig, stats: Dict[str, float]) -> Callable
         return lambda x: preprocess_batch_vit(
             x, stats, H=cfg.model.img_size_h, W=cfg.model.img_size_w
         )
+    if cfg.data.features == "amp_phase":
+        from vitiq.dsp import preprocess_batch_amplitude_phase
+
+        return preprocess_batch_amplitude_phase
     return lambda x: preprocess_batch_rawiq(x, stats)
 
 
