@@ -24,6 +24,12 @@ The public entry `fused_attention` is packed-layout (consumed by
 `mha_apply` before head splitting); backward recomputes attention under XLA
 (flash-style rematerialization). On CPU/GPU it falls back to the XLA
 reference implementation so tests run anywhere.
+
+Precision note: in-kernel dot_generals run at the MXU's native precision —
+f32 operands are truncated to bf16 (measured max err ~1e-2 vs a
+Precision.HIGHEST reference on hardware; exact in interpreter mode). This is
+by design: the kernel serves the bf16 'tpu' preset only. The f32 'reference'
+parity preset never routes through Pallas.
 """
 
 from __future__ import annotations
