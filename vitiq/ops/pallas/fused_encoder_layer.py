@@ -109,6 +109,141 @@ def _fused_layer_kernel(
                            o_ref.dtype)
 
 
+def _row_quant(t):
+    """[..., K] float -> (int8 values, [..., 1] f32 scales). Symmetric absmax."""
+    t32 = t.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(t32), axis=-1, keepdims=True), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(t32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _fused_layer_kernel_int8(
+    x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
+    g1_ref, be1_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+    g2_ref, be2_ref, o_ref, attn_scratch,
+    *, seq_len: int, n_head: int, scale: float,
+):
+    """Int8 W8A8 twin of _fused_layer_kernel: every GEMM runs int8 x int8 ->
+    int32 on the MXU (2x the bf16 rate) with dynamic per-row activation
+    scales; attention probabilities, LayerNorms and residuals stay float."""
+    g, lp, d = x_ref.shape
+    x = x_ref[:]
+
+    def int8_gemm(t, w_ref, s_ref, b_ref):
+        tq, rs = _row_quant(t)
+        acc = jax.lax.dot_general(
+            tq, w_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * rs * s_ref[:] + b_ref[:]
+
+    qkv = int8_gemm(x, wqkv_ref, sqkv_ref, bqkv_ref).astype(x.dtype)
+
+    dh = d // n_head
+    key_bias = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, lp), dimension=2) < seq_len,
+        0.0, _NEG_INF,
+    ).astype(jnp.float32)
+    for h in range(n_head):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = qkv[:, :, h * dh:(h + 1) * dh].astype(jnp.float32)
+        k = qkv[:, :, d + h * dh:d + (h + 1) * dh].astype(jnp.float32)
+        v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        probs = jnp.exp2(scores * 1.4426950408889634 + key_bias)
+        denom = jnp.sum(probs, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            probs.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        attn_scratch[:, :, sl] = (out / denom).astype(attn_scratch.dtype)
+
+    proj = int8_gemm(attn_scratch[:], wo_ref, so_ref, bo_ref)
+    x1 = _layer_norm(proj + x.astype(jnp.float32), g1_ref[:], be1_ref[:], x.dtype)
+    hmid = jnp.maximum(int8_gemm(x1, w1_ref, s1_ref, b1_ref), 0.0).astype(x.dtype)
+    y = int8_gemm(hmid, w2_ref, s2_ref, b2_ref)
+    o_ref[:] = _layer_norm(y + x1.astype(jnp.float32), g2_ref[:], be2_ref[:],
+                           o_ref.dtype)
+
+
+def fused_encoder_layer_int8(
+    x: jnp.ndarray,
+    qlayer,
+    n_head: int,
+    seq_len: Optional[int] = None,
+) -> jnp.ndarray:
+    """x: [B, L, D] -> [B, L, D] through one int8-GEMM fused layer.
+
+    `qlayer` is a vitiq encoder-layer param dict quantized by
+    vitiq.ops.quant.quantize_params_int8 (per-linear int8 kernels + per-out-
+    channel scales). QKV kernels/scales are concatenated at trace time
+    (constants, folded by XLA) — per-channel scales make the concat exact.
+    """
+    B, L, D = x.shape
+    seq_len = L if seq_len is None else seq_len
+    ap = qlayer["attention"]
+    wqkv = jnp.concatenate([ap["w_q"]["kernel_q"], ap["w_k"]["kernel_q"],
+                            ap["w_v"]["kernel_q"]], axis=1)
+    sqkv = jnp.concatenate([ap["w_q"]["scale"], ap["w_k"]["scale"],
+                            ap["w_v"]["scale"]])
+    bqkv = jnp.concatenate([ap["w_q"]["bias"], ap["w_k"]["bias"],
+                            ap["w_v"]["bias"]]).astype(jnp.float32)
+    ffn = qlayer["ffn"]
+    H = ffn["linear1"]["kernel_q"].shape[1]
+    g1 = qlayer["norm1"]["gamma"].astype(jnp.float32)
+    be1 = qlayer["norm1"]["beta"].astype(jnp.float32)
+    g2 = qlayer["norm2"]["gamma"].astype(jnp.float32)
+    be2 = qlayer["norm2"]["beta"].astype(jnp.float32)
+
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    Lp = _round_up(L, sublane)
+    G = _pick_batch_block(Lp, D, H, x.dtype.itemsize)
+    Bp = _round_up(B, G)
+    xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
+
+    kernel = functools.partial(
+        _fused_layer_kernel_int8, seq_len=seq_len, n_head=n_head,
+        scale=1.0 / ((D // n_head) ** 0.5),
+    )
+    data_block = pl.BlockSpec((G, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def rep(shape):
+        index_map = lambda i: tuple(0 for _ in shape)
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    operands = [
+        xp,
+        wqkv, sqkv, bqkv,
+        ap["w_concat"]["kernel_q"], ap["w_concat"]["scale"],
+        ap["w_concat"]["bias"].astype(jnp.float32),
+        g1, be1,
+        ffn["linear1"]["kernel_q"], ffn["linear1"]["scale"],
+        ffn["linear1"]["bias"].astype(jnp.float32),
+        ffn["linear2"]["kernel_q"], ffn["linear2"]["scale"],
+        ffn["linear2"]["bias"].astype(jnp.float32),
+        g2, be2,
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // G,),
+        in_specs=[data_block] + [rep(o.shape) for o in operands[1:]],
+        out_specs=data_block,
+        out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
+        scratch_shapes=[pltpu.VMEM((G, Lp, D), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * Lp * D * (4 * D + 2 * H)
+            + 4 * Bp * n_head * Lp * Lp * (D // n_head),
+            bytes_accessed=2 * Bp * Lp * D * x.dtype.itemsize,
+            transcendentals=Bp * n_head * Lp * Lp,
+        ),
+    )(*operands)
+    return out[:B, :L, :]
+
+
 def _pick_batch_block(Lp: int, D: int, H: int, itemsize: int) -> int:
     for g in (16, 8, 4, 2, 1):
         x_like = g * Lp * D  # x / qkv(3x) / attn / out blocks

@@ -110,6 +110,8 @@ def make_quantized_forward(cfg, attention_fn: Callable | None = None) -> Callabl
         return layer_norm_apply(qlayer["norm2"], y + x)
 
     def forward(qparams, src):
+        import os
+
         enc = qparams["encoder"]
         if cfg.arm == "vit":
             tokens = emb.fold_patches_2d(src, cfg.patch_size)
@@ -123,8 +125,18 @@ def make_quantized_forward(cfg, attention_fn: Callable | None = None) -> Callabl
                                    (x.shape[0], 1, x.shape[2]))
             x = jnp.concatenate([cls, x], axis=1)
         x = emb.add_positional_encoding(x, cfg.num_tokens)
-        for qlayer in enc["layers"]:
-            x = encoder_layer(qlayer, x)
+        # on TPU, each layer runs as one int8-GEMM fused Pallas kernel
+        use_fused = (jax.default_backend() == "tpu"
+                     and os.environ.get("VITIQ_NO_FUSED_LAYER") != "1")
+        if use_fused:
+            from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_int8
+
+            x = x.astype(jnp.bfloat16)
+            for qlayer in enc["layers"]:
+                x = fused_encoder_layer_int8(x, qlayer, cfg.n_head)
+        else:
+            for qlayer in enc["layers"]:
+                x = encoder_layer(qlayer, x)
         if cfg.arm == "vit":
             feat = x[:, 0]
         else:
