@@ -152,3 +152,20 @@ class TestFusedInt8Layer:
         # and runs bf16 probs; agreement is loose but bounded
         assert np.abs(got - want).max() < 0.15 * max(np.abs(want).max(), 1.0)
         np.testing.assert_allclose(got, want, atol=0.25)
+
+    def test_int8_fused_padding_rows_do_not_leak(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from vitiq.models.layers import encoder_layer_init
+        from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_int8
+
+        params = encoder_layer_init(jax.random.PRNGKey(1), 128, 256)
+        qlayer = quantize_params_int8(params)
+        rng = np.random.default_rng(1)
+        x9 = jnp.asarray(rng.standard_normal((1, 9, 128)), jnp.float32)
+        x9_padded_batch = jnp.concatenate(
+            [x9, 100.0 * jnp.ones((1, 9, 128), jnp.float32)]
+        )
+        with pltpu.force_tpu_interpret_mode():
+            solo = np.asarray(fused_encoder_layer_int8(x9, qlayer, 8))
+            both = np.asarray(fused_encoder_layer_int8(x9_padded_batch, qlayer, 8))
+        np.testing.assert_allclose(solo[0], both[0], atol=1e-3)
