@@ -265,3 +265,35 @@ class TestFeatureKnob:
                                           "--source", "synthetic",
                                           "--features", "amp_phase"])
         assert _config_from_args(args).data.features == "amp_phase"
+
+
+class TestHeadToHead:
+    def test_trains_both_arms_and_compares(self, tmp_path):
+        from vitiq.config import DataConfig, ExperimentConfig, TrainConfig
+        from vitiq.runner import run_head_to_head
+
+        data = DataConfig(source="synthetic", synthetic_classes=("BPSK", "QPSK"),
+                          synthetic_frames_per_class=48, synthetic_frame_len=128)
+        vit = ExperimentConfig(
+            model=ModelConfig(arm="vit", num_classes=2, d_model=16, n_head=2,
+                              n_layers=1, ffn_hidden=32, img_size_h=16,
+                              img_size_w=16, patch_size=8, seq_length=128),
+            data=data,
+            train=TrainConfig(batch_size=16, num_epochs=1),
+            experiment_name="h2h_vit", checkpoint_dir=str(tmp_path / "ck"),
+            log_dir=str(tmp_path / "logs"),
+        )
+        rawiq = ExperimentConfig(
+            model=ModelConfig(arm="rawiq", num_classes=2, d_model=16, n_head=2,
+                              n_layers=1, ffn_hidden=32, seq_length=128,
+                              segment_size=32),
+            data=data,
+            train=TrainConfig(batch_size=16, num_epochs=1),
+            experiment_name="h2h_rawiq", checkpoint_dir=str(tmp_path / "ck"),
+            log_dir=str(tmp_path / "logs"),
+        )
+        res = run_head_to_head(vit, rawiq, comparison_dir=str(tmp_path / "cmp"),
+                               verbose=False)
+        assert "overall_improvement" in res["insights"]
+        assert (tmp_path / "cmp" / "summary_comparison.csv").exists()
+        assert (tmp_path / "cmp" / "overall_comparison.png").exists()

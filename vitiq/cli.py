@@ -123,6 +123,27 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_head_to_head(args) -> int:
+    import copy
+
+    from vitiq.runner import run_head_to_head
+
+    base_name = args.experiment_name or "h2h"
+    args.arm = "vit"
+    vit_cfg = _config_from_args(args)
+    vit_cfg.experiment_name = f"{base_name}_vit"
+    rawiq_args = copy.copy(args)
+    rawiq_args.arm = "rawiq"
+    # arm-specific model flags reset to rawiq defaults unless user-overridden
+    rawiq_cfg = _config_from_args(rawiq_args)
+    rawiq_cfg.data = copy.deepcopy(vit_cfg.data)  # identical data for both arms
+    rawiq_cfg.data.features = "iq"
+    rawiq_cfg.experiment_name = f"{base_name}_rawiq"
+    result = run_head_to_head(vit_cfg, rawiq_cfg, comparison_dir=args.output_dir)
+    print(json.dumps(result, indent=2, default=float))
+    return 0
+
+
 def cmd_visualize(args) -> int:
     from vitiq.viz import run_visualization
 
@@ -180,6 +201,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--transformer_report", required=True)
     p.add_argument("--output_dir", default="comparison_results")
     p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser("head-to-head",
+                       help="Train both arms on the same data and compare")
+    _add_train_args(p)
+    p.add_argument("--output_dir", default="comparison_results")
+    p.set_defaults(fn=cmd_head_to_head)
 
     p = sub.add_parser("visualize", help="Preprocessing visualization figures")
     p.add_argument("--file_path", type=str, default=None,

@@ -199,6 +199,33 @@ def run_training(
     return summary
 
 
+def run_head_to_head(
+    vit_cfg: ExperimentConfig,
+    rawiq_cfg: ExperimentConfig,
+    comparison_dir: str = "comparison_results",
+    verbose: bool = True,
+) -> Dict:
+    """BASELINE.json config 4: train BOTH arms on identical data, evaluate
+    each, and run the cross-arm comparison — the workflow the reference
+    performs manually across its two script trees + compare_models.py."""
+    from vitiq.eval import ModelComparison
+
+    vit_summary = run_training(vit_cfg, verbose=verbose)
+    rawiq_summary = run_training(rawiq_cfg, verbose=verbose)
+    vit_report = (Path(vit_summary["experiment_dir"]) / "evaluation"
+                  / "test_classification_report.txt")
+    rawiq_report = (Path(rawiq_summary["experiment_dir"]) / "evaluation"
+                    / "test_classification_report.txt")
+    mc = ModelComparison(vit_report, rawiq_report, output_dir=comparison_dir)
+    insights = mc.run_comparison(verbose=verbose)
+    return {
+        "vit": {k: v for k, v in vit_summary.items() if k != "history"},
+        "rawiq": {k: v for k, v in rawiq_summary.items() if k != "history"},
+        "comparison_dir": str(comparison_dir),
+        "insights": insights,
+    }
+
+
 def run_evaluation(
     checkpoint_dir: str,
     dataset: str = "test",
