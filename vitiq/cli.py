@@ -107,7 +107,8 @@ def cmd_evaluate(args) -> int:
     from vitiq.runner import run_evaluation
 
     res = run_evaluation(args.checkpoint, dataset=args.dataset,
-                         batch_size=args.batch_size, config_path=args.config)
+                         batch_size=args.batch_size, config_path=args.config,
+                         int8=args.int8)
     print(f"overall accuracy: {res['overall_accuracy'] * 100:.2f}%")
     for snr, acc in sorted(res["snr_accuracies"].items()):
         print(f"  SNR {snr:+3d} dB: {acc * 100:.2f}%")
@@ -194,6 +195,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", choices=["train", "valid", "test"], default="test")
     p.add_argument("--batch_size", type=int)
     p.add_argument("--config", type=str, help="Override config JSON path")
+    p.add_argument("--int8", action="store_true",
+                   help="Evaluate through the int8 W8A8 serving path")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("compare", help="Compare two classification reports")

@@ -231,6 +231,7 @@ def run_evaluation(
     dataset: str = "test",
     batch_size: Optional[int] = None,
     config_path: Optional[str] = None,
+    int8: bool = False,
     verbose: bool = True,
 ) -> Dict:
     """Standalone evaluation of a saved experiment (the reference's
@@ -267,17 +268,29 @@ def run_evaluation(
         stats = json.loads(stats_file.read_text())
 
     preprocess = build_preprocess(cfg, stats)
-    fwd = make_forward(cfg.model)
     template = init_amc_params(jax.random.PRNGKey(cfg.train.init_seed), cfg.model)
     weights = exp_dir / "model_best.npz"
     if not weights.exists():
         weights = exp_dir / "model_final.npz"
     params = load_params(weights, template)
 
+    prefix = dataset
+    if int8:
+        # evaluate through the int8 W8A8 serving path (quantized GEMMs,
+        # fused int8 layers on TPU) — validates deployment accuracy
+        from vitiq.ops.quant import make_quantized_forward, quantize_params_int8
+
+        params = quantize_params_int8(params)
+        qfwd = make_quantized_forward(cfg.model)
+        fwd = lambda p, x, train=False, rng=None: qfwd(p, x)
+        prefix = f"{dataset}_int8"
+    else:
+        fwd = make_forward(cfg.model)
+
     x, y, z = splits[dataset]
     from vitiq.eval import evaluate_model_with_confusion
     return evaluate_model_with_confusion(
         fwd, params, x, y, z, class_names, exp_dir / "evaluation",
-        prefix=dataset, batch_size=cfg.train.batch_size,
+        prefix=prefix, batch_size=cfg.train.batch_size,
         preprocess_fn=preprocess, verbose=verbose,
     )
