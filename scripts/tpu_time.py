@@ -47,6 +47,21 @@ def main() -> int:
         fn = lambda p, xi: fwd(p, pre(xi), train=False)
     elif variant == "pre":
         fn = lambda p, xi: pre(xi)
+    elif variant == "layers":
+        # 6 fused layers on a pre-embedded token stream: isolates the encoder
+        # from the patchify/PE/head glue
+        from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer
+
+        params = init_amc_params(jax.random.PRNGKey(0), cfg)
+        layer_list = params["encoder"]["layers"]
+
+        def fn(p, xi):
+            # xi [B, 1024, 2] -> tokens [B, 129, 128] bf16 (cheap broadcast,
+            # data-dependent so nothing constant-folds)
+            t = jnp.tile(xi[:, :129, 0:1], (1, 1, 128)).astype(jnp.bfloat16)
+            for lp_ in layer_list:
+                t = fused_encoder_layer(t, lp_, 8)
+            return t
     else:
         raise SystemExit(f"unknown variant {variant}")
 
