@@ -47,6 +47,15 @@ def main() -> int:
         fn = lambda p, xi: fwd(p, pre(xi), train=False)
     elif variant == "pre":
         fn = lambda p, xi: pre(xi)
+    elif variant == "layers2":
+        from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v2_stack
+
+        params = init_amc_params(jax.random.PRNGKey(0), cfg)
+        layer_list = params["encoder"]["layers"]
+
+        def fn(p, xi):
+            t = jnp.tile(xi[:, :129, 0:1], (1, 1, 128)).astype(jnp.bfloat16)
+            return fused_encoder_layer_v2_stack(t, layer_list, 8)
     elif variant == "layers":
         # 6 fused layers on a pre-embedded token stream: isolates the encoder
         # from the patchify/PE/head glue

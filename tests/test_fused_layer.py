@@ -54,3 +54,38 @@ def test_stacked_layers_match_encoder():
         got = fused_encoder_layer(x, p1, n_head)
         got = np.asarray(fused_encoder_layer(got, p2, n_head))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_v2_stack_matches_reference_layers():
+    """The v2 (augmented score-matrix) stack == unfused reference layers."""
+    from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v2_stack
+
+    rng = np.random.default_rng(5)
+    p1 = L.encoder_layer_init(jax.random.PRNGKey(10), 128, 512)
+    p2 = L.encoder_layer_init(jax.random.PRNGKey(11), 128, 512)
+    x = jnp.asarray(rng.standard_normal((3, 129, 128)), jnp.float32)
+    ref = L.encoder_layer_apply(p1, x, 8, 0.0, None, False, policy=REFERENCE)
+    ref = np.asarray(L.encoder_layer_apply(p2, ref, 8, 0.0, None, False,
+                                           policy=REFERENCE))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_encoder_layer_v2_stack(x, [p1, p2], 8))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_v2_bias_exactness():
+    """The ones-column trick must carry q/k biases exactly: a layer whose
+    q/k BIASES are large still matches."""
+    from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v2_stack
+
+    rng = np.random.default_rng(6)
+    params = L.encoder_layer_init(jax.random.PRNGKey(12), 128, 256)
+    params["attention"]["w_q"]["bias"] = jnp.asarray(
+        rng.standard_normal(128) * 5.0, jnp.float32)
+    params["attention"]["w_k"]["bias"] = jnp.asarray(
+        rng.standard_normal(128) * 5.0, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 17, 128)), jnp.float32)
+    want = np.asarray(L.encoder_layer_apply(params, x, 8, 0.0, None, False,
+                                            policy=REFERENCE))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_encoder_layer_v2_stack(x, [params], 8))
+    np.testing.assert_allclose(got, want, atol=1e-4)

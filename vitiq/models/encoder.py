@@ -100,12 +100,11 @@ def encoder_apply(
         and jax.default_backend() == "tpu"
         and os.environ.get("VITIQ_NO_FUSED_LAYER") != "1"
     ):
-        from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer
+        from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v2_stack
 
-        x = policy.cast_compute(x)
-        for layer_params in params["layers"]:
-            x = fused_encoder_layer(x, layer_params, cfg.n_head)
-        return x
+        return fused_encoder_layer_v2_stack(
+            policy.cast_compute(x), params["layers"], cfg.n_head
+        )
 
     for layer_params, layer_rng in zip(params["layers"], layer_rngs):
         x = encoder_layer_apply(

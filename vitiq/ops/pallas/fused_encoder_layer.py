@@ -109,6 +109,168 @@ def _fused_layer_kernel(
                            o_ref.dtype)
 
 
+def _fused_layer_kernel_v2(
+    x_ref, m_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    g1_ref, be1_ref, w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
+    o_ref, attn_scratch,
+    *, seq_len: int, n_head: int, scale: float,
+):
+    """Full-contraction attention variant.
+
+    The v1 kernel's per-head score matmuls contract over d_head=16 — 1/8 MXU
+    fill and thousands of fill-latency-bound tiny matmuls per layer (measured
+    dominant cost; the softmax exp measured FREE — see docs/BENCHMARKS.md).
+    v2 eliminates the narrow contraction with the algebraic identity
+
+        q_h k_h^T = (x' A_h)(x' B_h)^T = x' (A_h B_h^T) x'^T = (x' M_h) x'^T
+
+    where x' = [x | 1] (ones column carries the q/k biases exactly) and
+    M_h = A_h B_h^T is a PRECOMPUTED [D+1, D+1] constant per head. Both score
+    matmuls then contract over Dp ~= 136 lanes (full MXU fill) at ~8.5x the
+    FLOPs — a winning trade when the old path runs ~8-30x below peak.
+    Only the V projection remains from QKV.
+    """
+    g, lp, dp = x_ref.shape  # dp = D + pad (ones column at index D)
+    d = wv_ref.shape[1]
+    dh = d // n_head
+    xp = x_ref[:]
+
+    v = jax.lax.dot_general(
+        xp, wv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bv_ref[:]
+    v = v.astype(xp.dtype)
+
+    key_bias = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, lp), dimension=2) < seq_len,
+        0.0, _NEG_INF,
+    ).astype(jnp.float32)
+    for h in range(n_head):
+        xm = jax.lax.dot_general(
+            xp, m_ref[h], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(xp.dtype)  # [G, Lp, Dp], K = Dp (full fill)
+        scores = jax.lax.dot_general(
+            xm, xp, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [G, Lp, Lp], K = Dp
+        probs = jnp.exp(scores + key_bias)
+        denom = jnp.sum(probs, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            probs.astype(v.dtype), v[:, :, h * dh:(h + 1) * dh],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        attn_scratch[:, :, h * dh:(h + 1) * dh] = (out / denom).astype(
+            attn_scratch.dtype)
+
+    x = xp[:, :, :d]
+    proj = jax.lax.dot_general(
+        attn_scratch[:], wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[:]
+    x1 = _layer_norm(proj + x.astype(jnp.float32), g1_ref[:], be1_ref[:], x.dtype)
+    hmid = jax.lax.dot_general(
+        x1, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:]
+    hmid = jnp.maximum(hmid, 0.0).astype(x.dtype)
+    y = jax.lax.dot_general(
+        hmid, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:]
+    out_final = _layer_norm(y + x1.astype(jnp.float32), g2_ref[:], be2_ref[:],
+                            o_ref.dtype)
+    # write back WITH the ones column so layers chain without re-padding
+    o_ref[:, :, :d] = out_final
+    o_ref[:, :, d:] = xp[:, :, d:]
+
+
+def _augmented_score_matrices(layer_params, n_head: int, dp: int,
+                              dtype) -> jnp.ndarray:
+    """[H, Dp, Dp] with M_h = [[Wq_h Wk_h^T, Wq_h bk_h], [bq_h^T Wk_h^T,
+    bq_h.bk_h]] — so [x|1] M_h [x|1]^T == (x Wq_h + bq_h)(x Wk_h + bk_h)^T."""
+    ap = layer_params["attention"]
+    wq = ap["w_q"]["kernel"].astype(jnp.float32)  # [D, D]
+    wk = ap["w_k"]["kernel"].astype(jnp.float32)
+    bq = ap["w_q"]["bias"].astype(jnp.float32)
+    bk = ap["w_k"]["bias"].astype(jnp.float32)
+    d = wq.shape[0]
+    dh = d // n_head
+    mats = []
+    for h in range(n_head):
+        sl = slice(h * dh, (h + 1) * dh)
+        a = jnp.concatenate([wq[:, sl], bq[sl][None, :]], axis=0)  # [D+1, dh]
+        b = jnp.concatenate([wk[:, sl], bk[sl][None, :]], axis=0)
+        m = a @ b.T  # [D+1, D+1]
+        m = jnp.pad(m, ((0, dp - d - 1), (0, dp - d - 1)))
+        mats.append(m)
+    return jnp.stack(mats).astype(dtype)
+
+
+def fused_encoder_layer_v2_stack(
+    x: jnp.ndarray,
+    layer_params_list,
+    n_head: int,
+    seq_len: Optional[int] = None,
+) -> jnp.ndarray:
+    """Run a whole stack of layers through the v2 kernel.
+
+    Operates on an augmented [B, Lp, Dp] stream (ones column appended once,
+    preserved across layers by the kernel) — x: [B, L, D] in/out.
+    """
+    B, L, D = x.shape
+    seq_len = L if seq_len is None else seq_len
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    Lp = _round_up(L, sublane)
+    Dp = D + sublane  # D + ones column, rounded to the sublane quantum
+    G = _pick_batch_block(Lp, Dp, max(
+        lp_["ffn"]["linear1"]["kernel"].shape[1] for lp_ in layer_params_list
+    ), x.dtype.itemsize)
+    Bp = _round_up(B, G)
+
+    xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, Dp - D)))
+    xp = xp.at[:, :, D].set(1.0)  # ones column (also on padded rows: harmless)
+
+    data_block = pl.BlockSpec((G, Lp, Dp), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    def rep(shape):
+        index_map = lambda i: tuple(0 for _ in shape)
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    for lp_ in layer_params_list:
+        ap = lp_["attention"]
+        m = _augmented_score_matrices(lp_, n_head, Dp, x.dtype)
+        wv = jnp.pad(ap["w_v"]["kernel"], ((0, Dp - D), (0, 0))).astype(x.dtype)
+        operands = [
+            xp, m, wv, ap["w_v"]["bias"].astype(jnp.float32),
+            ap["w_concat"]["kernel"].astype(x.dtype),
+            ap["w_concat"]["bias"].astype(jnp.float32),
+            lp_["norm1"]["gamma"].astype(jnp.float32),
+            lp_["norm1"]["beta"].astype(jnp.float32),
+            lp_["ffn"]["linear1"]["kernel"].astype(x.dtype),
+            lp_["ffn"]["linear1"]["bias"].astype(jnp.float32),
+            lp_["ffn"]["linear2"]["kernel"].astype(x.dtype),
+            lp_["ffn"]["linear2"]["bias"].astype(jnp.float32),
+            lp_["norm2"]["gamma"].astype(jnp.float32),
+            lp_["norm2"]["beta"].astype(jnp.float32),
+        ]
+        kernel = functools.partial(
+            _fused_layer_kernel_v2, seq_len=seq_len, n_head=n_head,
+            scale=1.0 / ((D // n_head) ** 0.5),
+        )
+        xp = pl.pallas_call(
+            kernel,
+            grid=(Bp // G,),
+            in_specs=[data_block] + [rep(o.shape) for o in operands[1:]],
+            out_specs=data_block,
+            out_shape=jax.ShapeDtypeStruct((Bp, Lp, Dp), x.dtype),
+            scratch_shapes=[pltpu.VMEM((G, Lp, D), x.dtype)],
+        )(*operands)
+    return xp[:B, :L, :D]
+
+
 def _row_quant(t):
     """[..., K] float -> (int8 values, [..., 1] f32 scales). Symmetric absmax."""
     t32 = t.astype(jnp.float32)
