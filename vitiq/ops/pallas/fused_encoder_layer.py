@@ -213,11 +213,15 @@ def fused_encoder_layer_v2_stack(
     layer_params_list,
     n_head: int,
     seq_len: Optional[int] = None,
+    layers_per_call: int = 2,
 ) -> jnp.ndarray:
     """Run a whole stack of layers through the v2 kernel.
 
     Operates on an augmented [B, Lp, Dp] stream (ones column appended once,
     preserved across layers by the kernel) — x: [B, L, D] in/out.
+    `layers_per_call` groups consecutive layers into one pallas_call (weights
+    stacked on a leading axis, kernel loops) so the activation stream skips
+    the HBM round-trip between grouped layers.
     """
     B, L, D = x.shape
     seq_len = L if seq_len is None else seq_len
@@ -239,12 +243,12 @@ def fused_encoder_layer_v2_stack(
         index_map = lambda i: tuple(0 for _ in shape)
         return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
-    for lp_ in layer_params_list:
+    def layer_operands(lp_):
         ap = lp_["attention"]
         m = _augmented_score_matrices(lp_, n_head, Dp, x.dtype)
         wv = jnp.pad(ap["w_v"]["kernel"], ((0, Dp - D), (0, 0))).astype(x.dtype)
-        operands = [
-            xp, m, wv, ap["w_v"]["bias"].astype(jnp.float32),
+        return [
+            m, wv, ap["w_v"]["bias"].astype(jnp.float32),
             ap["w_concat"]["kernel"].astype(x.dtype),
             ap["w_concat"]["bias"].astype(jnp.float32),
             lp_["norm1"]["gamma"].astype(jnp.float32),
@@ -256,18 +260,32 @@ def fused_encoder_layer_v2_stack(
             lp_["norm2"]["gamma"].astype(jnp.float32),
             lp_["norm2"]["beta"].astype(jnp.float32),
         ]
-        kernel = functools.partial(
-            _fused_layer_kernel_v2, seq_len=seq_len, n_head=n_head,
-            scale=1.0 / ((D // n_head) ** 0.5),
-        )
+
+    N_OPS = 13  # operands per layer (weights flattened, no stacking: Mosaic
+    # cannot slice a leading axis when the lane dim isn't 128-aligned)
+    for start in range(0, len(layer_params_list), layers_per_call):
+        group = layer_params_list[start:start + layers_per_call]
+        flat = [op for lp_ in group for op in layer_operands(lp_)]
+
+        def kernel(x_ref, *rest, n_layers=len(group)):
+            weight_refs, o_ref, attn_scratch = rest[:-2], rest[-2], rest[-1]
+            for c in range(n_layers):
+                src = x_ref if c == 0 else o_ref
+                _fused_layer_kernel_v2(
+                    src, *weight_refs[c * N_OPS:(c + 1) * N_OPS],
+                    o_ref, attn_scratch,
+                    seq_len=seq_len, n_head=n_head,
+                    scale=1.0 / ((D // n_head) ** 0.5),
+                )
+
         xp = pl.pallas_call(
             kernel,
             grid=(Bp // G,),
-            in_specs=[data_block] + [rep(o.shape) for o in operands[1:]],
+            in_specs=[data_block] + [rep(o.shape) for o in flat],
             out_specs=data_block,
             out_shape=jax.ShapeDtypeStruct((Bp, Lp, Dp), x.dtype),
             scratch_shapes=[pltpu.VMEM((G, Lp, D), x.dtype)],
-        )(*operands)
+        )(xp, *flat)
     return xp[:B, :L, :D]
 
 
