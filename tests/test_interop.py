@@ -24,10 +24,14 @@ def synth_state_dict(cfg: ModelConfig, rng):
         sd["encoder.patch_embedding.projection.bias"] = rng.standard_normal(d).astype(np.float32)
         sd["encoder.cls_token"] = rng.standard_normal((1, 1, d)).astype(np.float32)
     else:
+        # key names as the real reference modules register them (verified by
+        # tests/test_reference_golden.py against an actual state_dict):
+        # the rawIQ Encoder attribute is `sequence_embedding`
+        # (ref: transformer_rawIQ/models/encoder.py:37,50)
         s = cfg.segment_size if cfg.embedding_type == "segment" else 1
-        sd["encoder.embedding.projection.weight"] = rng.standard_normal(
+        sd["encoder.sequence_embedding.projection.weight"] = rng.standard_normal(
             (d, 2, s)).astype(np.float32)
-        sd["encoder.embedding.projection.bias"] = rng.standard_normal(d).astype(np.float32)
+        sd["encoder.sequence_embedding.projection.bias"] = rng.standard_normal(d).astype(np.float32)
         if cfg.use_cls_token:
             sd["encoder.cls_token"] = rng.standard_normal((1, 1, d)).astype(np.float32)
     for i in range(cfg.n_layers):
@@ -46,8 +50,9 @@ def synth_state_dict(cfg: ModelConfig, rng):
         sd["mlp_head.weight"] = rng.standard_normal((cfg.num_classes, d)).astype(np.float32)
         sd["mlp_head.bias"] = rng.standard_normal(cfg.num_classes).astype(np.float32)
     else:
-        sd["mlp_head.0.gamma"] = np.ones(d, np.float32)
-        sd["mlp_head.0.beta"] = np.zeros(d, np.float32)
+        # the head LayerNorm is torch nn.LayerNorm -> weight/bias keys
+        sd["mlp_head.0.weight"] = np.ones(d, np.float32)
+        sd["mlp_head.0.bias"] = np.zeros(d, np.float32)
         sd["mlp_head.1.weight"] = rng.standard_normal((cfg.num_classes, d)).astype(np.float32)
         sd["mlp_head.1.bias"] = rng.standard_normal(cfg.num_classes).astype(np.float32)
     return sd

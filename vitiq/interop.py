@@ -13,10 +13,14 @@ reference module trees exactly:
     mlp_head.{weight,bias}
 
   rawIQ arm (ref: transformer_rawIQ/models/encoder.py, transformer_rawIQ.py):
-    encoder.embedding.projection.{weight,bias}         Conv1d [d, 2, k]
+    encoder.sequence_embedding.projection.{weight,bias}  Conv1d [d, 2, k]
+      (the rawIQ Encoder registers `self.sequence_embedding`,
+       ref: transformer_rawIQ/models/encoder.py:37,50)
     encoder.cls_token (optional)
     encoder.layers... (same as above)
-    mlp_head.0.{gamma,beta} (the head LayerNorm), mlp_head.1.{weight,bias}
+    mlp_head.0.{weight,bias} (the head is a torch nn.LayerNorm — it registers
+      weight/bias, NOT gamma/beta), mlp_head.1.{weight,bias}
+      (ref: transformer_rawIQ/models/transformer_rawIQ.py:67-70)
 
 Layout conversions (the transposes/flattens vitiq's fold+GEMM layers expect,
 verified against torch conv semantics in tests/test_layers.py):
@@ -96,15 +100,16 @@ def load_torch_state_dict(state_dict: Mapping[str, Any], cfg: ModelConfig):
         return {"encoder": encoder, "mlp_head": _linear(sd, "mlp_head")}
 
     encoder = {
-        "embedding": {"proj": _conv_proj(sd, "encoder.embedding.projection")},
+        "embedding": {"proj": _conv_proj(sd, "encoder.sequence_embedding.projection")},
         "layers": layers,
     }
     if cfg.use_cls_token:
         encoder["cls_token"] = jnp.asarray(_np(sd["encoder.cls_token"]))
-    # rawIQ head = Sequential(LayerNorm, Linear) -> keys mlp_head.0 / mlp_head.1
+    # rawIQ head = Sequential(nn.LayerNorm, Linear) -> keys mlp_head.0 / .1;
+    # torch LayerNorm's affine params are named weight/bias
     # (ref: transformer_rawIQ/models/transformer_rawIQ.py:67-70)
-    head_norm = {"gamma": jnp.asarray(_np(sd["mlp_head.0.gamma"])),
-                 "beta": jnp.asarray(_np(sd["mlp_head.0.beta"]))}
+    head_norm = {"gamma": jnp.asarray(_np(sd["mlp_head.0.weight"])),
+                 "beta": jnp.asarray(_np(sd["mlp_head.0.bias"]))}
     return {"encoder": encoder, "head_norm": head_norm,
             "mlp_head": _linear(sd, "mlp_head.1")}
 

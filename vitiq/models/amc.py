@@ -65,7 +65,10 @@ def make_forward(cfg: ModelConfig, attention_fn: Optional[Callable] = None):
                 feat = x[:, 0]
             else:
                 feat = jnp.mean(x, axis=1)  # transformer_rawIQ.py:92-93
-            feat = layer_norm_apply(params["head_norm"], feat)
+            # the rawIQ head norm is a torch nn.LayerNorm (default eps=1e-5),
+            # unlike the encoder's custom eps=1e-12 LN
+            # (ref: transformer_rawIQ/models/transformer_rawIQ.py:68)
+            feat = layer_norm_apply(params["head_norm"], feat, eps=1e-5)
         logits = linear_apply(params["mlp_head"], feat, policy)
         return logits.astype(jnp.float32)
 

@@ -43,7 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vitiq.ops.attention import scaled_dot_product_attention
-from vitiq.ops.numerics import Policy, REFERENCE
+from vitiq.ops.numerics import Policy, REFERENCE, TPU
 
 _NEG_INF = -1e30
 
@@ -169,11 +169,17 @@ def _fwd(q, k, v, n_head):
 def _bwd(n_head, residuals, g):
     # Flash-style backward: recompute attention under XLA (fused by the
     # compiler) instead of saving the [B, H, L, L] probability tensor.
-    # The recompute must match the primal's output dtype (bf16 under the TPU
-    # policy) or jax.vjp rejects the cotangent.
+    # The recompute runs under the PRIMAL's policy: inputs already arrive in
+    # the policy's compute dtype (bf16 under 'tpu'), so forcing REFERENCE
+    # (Precision.HIGHEST = the 3-pass bf16 f32-emulation, ~3x matmul cost)
+    # here would triple the rematerialization cost of every training step for
+    # no extra precision — the primal itself ran native bf16.
+    # The recompute must still match the primal's output dtype or jax.vjp
+    # rejects the cotangent.
     q, k, v = residuals
+    policy = TPU if q.dtype == jnp.bfloat16 else REFERENCE
     _, vjp = jax.vjp(
-        lambda q_, k_, v_: _xla_packed_attention(q_, k_, v_, n_head, REFERENCE)
+        lambda q_, k_, v_: _xla_packed_attention(q_, k_, v_, n_head, policy)
         .astype(q.dtype),
         q, k, v,
     )

@@ -163,7 +163,14 @@ def run_training(
                     result.history, cfg)
     save_params(exp_dir / "model_final", result.state.params)
     best_params = result.best_params
-    save_params(exp_dir / "model_best", best_params)
+    best_path = exp_dir / "model_best"
+    if result.best_tracked or not best_path.with_suffix(".npz").exists():
+        save_params(best_path, best_params)
+    else:
+        # resumed run whose post-resume epochs never beat the historical best:
+        # the rolling checkpoint_callback's model_best.npz from the original
+        # run holds the genuinely best weights — keep it and evaluate it
+        best_params = load_params(best_path, result.state.params)
 
     try:
         from vitiq.eval.plots import plot_training_history

@@ -170,6 +170,12 @@ class FitResult:
     history: Dict[str, list] = field(default_factory=dict)
     stopped_early: bool = False
     epochs_run: int = 0
+    # True iff best_params was actually tracked by early stopping this run;
+    # False means best_params is the final-epoch fallback. On resume, history
+    # re-priming sets the bar without params, so a run whose post-resume
+    # epochs never beat the historical best reports False — callers must not
+    # overwrite a previously saved best snapshot in that case.
+    best_tracked: bool = False
 
 
 def fit(
@@ -290,8 +296,9 @@ def fit(
                 break
 
     result.state = state
+    result.best_tracked = early_stopping.best_params is not None
     result.best_params = (
-        early_stopping.best_params if early_stopping.best_params is not None else state.params
+        early_stopping.best_params if result.best_tracked else state.params
     )
     result.history = history
     return result
