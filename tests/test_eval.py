@@ -157,3 +157,41 @@ class TestComparison:
         mc = ModelComparison(pa, pb, output_dir=tmp_path / "out")
         insights = mc.run_comparison(verbose=False)
         assert insights["overall_improvement"] == pytest.approx(-20.0)
+
+
+def test_predict_all_sharded_matches_single_device():
+    """Multi-chip serving (VERDICT r1 item 5): predict_all over a (data x
+    model) mesh must produce the same predictions as the single-device path."""
+    import jax
+    from vitiq.config import ModelConfig
+    from vitiq.models import init_amc_params, make_forward
+    from vitiq.eval.evaluate import predict_all
+    from vitiq.parallel import make_mesh
+
+    cfg = ModelConfig(arm="rawiq", num_classes=5, d_model=32, n_head=4,
+                      n_layers=2, ffn_hidden=64, seq_length=64, segment_size=16)
+    params = init_amc_params(jax.random.PRNGKey(0), cfg)
+    fwd = make_forward(cfg)
+    x = np.random.default_rng(3).standard_normal((37, 2, 64)).astype(np.float32)
+
+    single = predict_all(fwd, params, x, batch_size=8)
+    mesh = make_mesh(data=4, model=2)
+    sharded = predict_all(fwd, params, x, batch_size=8, mesh=mesh)
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_predict_all_sharded_rejects_indivisible_batch():
+    import jax
+    import pytest as _pytest
+    from vitiq.config import ModelConfig
+    from vitiq.models import init_amc_params, make_forward
+    from vitiq.eval.evaluate import predict_all
+    from vitiq.parallel import make_mesh
+
+    cfg = ModelConfig(arm="rawiq", num_classes=3, d_model=32, n_head=4,
+                      n_layers=1, ffn_hidden=64, seq_length=64, segment_size=16)
+    params = init_amc_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(data=8, model=1)
+    with _pytest.raises(ValueError):
+        predict_all(make_forward(cfg), params,
+                    np.zeros((6, 2, 64), np.float32), batch_size=6, mesh=mesh)

@@ -89,3 +89,47 @@ def test_v2_bias_exactness():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(fused_encoder_layer_v2_stack(x, [params], 8))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("Lx,n_head,scores_bf16", [
+    (17, 4, False),   # single key tile, width < 128
+    (129, 8, False),  # flagship: full 128 tile + 16-wide masked remainder
+    (129, 8, True),   # bf16 score storage variant
+    (200, 8, False),  # two tiles, second partially masked
+])
+def test_v3_stack_matches_reference_layers(Lx, n_head, scores_bf16):
+    """The v3 (score-tile-streamed) stack == unfused reference layers.
+    Covers the Lk-128 tiling, the masked remainder tile, the MXU ones-column
+    denominator, and the scale-folded-into-W_q trick."""
+    from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v3_stack
+
+    rng = np.random.default_rng(7)
+    p1 = L.encoder_layer_init(jax.random.PRNGKey(20), 128, 512)
+    p2 = L.encoder_layer_init(jax.random.PRNGKey(21), 128, 512)
+    x = jnp.asarray(rng.standard_normal((3, Lx, 128)), jnp.float32)
+    ref = L.encoder_layer_apply(p1, x, n_head, 0.0, None, False, policy=REFERENCE)
+    ref = np.asarray(L.encoder_layer_apply(p2, ref, n_head, 0.0, None, False,
+                                           policy=REFERENCE))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_encoder_layer_v3_stack(
+            x, [p1, p2], n_head, scores_bf16=scores_bf16))
+    np.testing.assert_allclose(got, ref, atol=1e-2 if scores_bf16 else 1e-4)
+
+
+def test_v3_denominator_column_exact():
+    """The MXU ones-column denominator must equal the true softmax sum even
+    with large q/k biases (exercises the folded scale on the bias too)."""
+    from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v3_stack
+
+    rng = np.random.default_rng(8)
+    params = L.encoder_layer_init(jax.random.PRNGKey(22), 128, 256)
+    params["attention"]["w_q"]["bias"] = jnp.asarray(
+        rng.standard_normal(128) * 5.0, jnp.float32)
+    params["attention"]["w_k"]["bias"] = jnp.asarray(
+        rng.standard_normal(128) * 5.0, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 17, 128)), jnp.float32)
+    want = np.asarray(L.encoder_layer_apply(params, x, 8, 0.0, None, False,
+                                            policy=REFERENCE))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_encoder_layer_v3_stack(x, [params], 8))
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -129,20 +129,29 @@ def preprocess_batch_rawiq(x: jnp.ndarray, stats: Dict[str, float]) -> jnp.ndarr
 
 
 def preprocess_batch_sps(x: jnp.ndarray, sps: int, alpha: float = 0.35,
-                         span: int = 8) -> jnp.ndarray:
+                         span: int = 8,
+                         method: str = "simple_energy") -> jnp.ndarray:
     """Fused SPS-aware front-end (BASELINE.json config 3), fully batched/jit:
 
     sps == 1: identity (RadioML rule — every sample is a symbol).
-    sps >= 2: RRC matched filter (one grouped conv over the batch) ->
-    per-frame energy phase pick (vectorized over all sps phases) -> decimate
-    at the chosen phase. [B, L, 2] -> [B, L//sps, 2] symbols.
+    sps >= 2: RRC matched filter (one grouped conv over the batch) -> batched
+    timing recovery via `method` -> [B, L//sps, 2] symbols.
 
-    The per-frame phase is a traced index (jnp.take along the phase axis), so
-    the whole front-end stays inside one jit program feeding the classifier —
-    the batched equivalent of extract_symbols(..., method='simple_energy').
+    All four contract methods (ref: test_dsp_functions.py:117-156) run fully
+    on-device:
+      simple_energy / simple_correlation — vectorized per-frame phase pick
+        (traced index, jnp.take along the phase axis);
+      gardner / mueller_muller — the per-frame `lax.scan` feedback loops
+        vmapped over the batch (vitiq.dsp.timing.batched_timing_positions),
+        strobes rounded and gathered per frame. Strobes that run past the
+        frame end (the scan's fixed L//sps trip count can overshoot on
+        drifting loops) clamp to the last sample, so the output shape stays
+        static; the single-frame extract_symbols drops them instead.
     """
     if sps == 1:
         return x
+    if method not in _METHODS:
+        raise ValueError(f"unknown timing-recovery method {method!r}; choose from {_METHODS}")
     from vitiq.dsp.filtering import matched_filter_batch
 
     B, L, _ = x.shape
@@ -150,10 +159,24 @@ def preprocess_batch_sps(x: jnp.ndarray, sps: int, alpha: float = 0.35,
         raise ValueError(f"frame length {L} must be a multiple of sps ({sps})")
     filtered = matched_filter_batch(x, sps=sps, alpha=alpha, span=span)
     n_sym = L // sps
+
+    if method in ("gardner", "mueller_muller"):
+        from vitiq.dsp.timing import batched_timing_positions
+
+        positions, _valid = batched_timing_positions(
+            filtered[..., 0], filtered[..., 1], sps, method)  # [B, n_sym]
+        idx = jnp.clip(jnp.rint(positions), 0, L - 1).astype(jnp.int32)
+        return jnp.take_along_axis(filtered, idx[..., None], axis=1)
+
     # [B, n_sym, sps, 2]: candidate symbol streams for each decimation phase
     phased = filtered.reshape(B, n_sym, sps, 2)
-    energy = jnp.sum(phased[..., 0] ** 2 + phased[..., 1] ** 2, axis=1)  # [B, sps]
-    best = jnp.argmax(energy, axis=-1)  # [B]
+    if method == "simple_energy":
+        score = jnp.sum(phased[..., 0] ** 2 + phased[..., 1] ** 2, axis=1)  # [B, sps]
+    else:  # simple_correlation: symbol-to-symbol correlation per phase
+        si, sq = phased[..., 0], phased[..., 1]
+        score = jnp.mean(
+            jnp.abs(si[:, :-1] * si[:, 1:] + sq[:, :-1] * sq[:, 1:]), axis=1)
+    best = jnp.argmax(score, axis=-1)  # [B]
     return jnp.take_along_axis(
         phased, best[:, None, None, None], axis=2
     )[:, :, 0, :]

@@ -131,6 +131,23 @@ def _scan_to_indices(positions, valid, n: int) -> np.ndarray:
     return np.clip(idx, 0, n - 1)
 
 
+def batched_timing_positions(i_sig: jnp.ndarray, q_sig: jnp.ndarray, sps: int,
+                             method: str):
+    """Batched error-feedback timing recovery: [B, L] I/Q -> strobe positions.
+
+    vmaps the per-frame `lax.scan` loops over the frame axis (the scans have a
+    fixed trip count L//sps, so the whole batch is one XLA program — the
+    device-path twin of timing_recovery_{gardner,mueller_muller}).
+
+    Returns (positions [B, L//sps] float, valid [B, L//sps] bool).
+    """
+    if sps < 2:
+        raise ValueError("error-feedback timing recovery requires sps >= 2")
+    scan = {"gardner": _gardner_scan, "mueller_muller": _mueller_muller_scan}[method]
+    num_steps = i_sig.shape[1] // sps
+    return jax.vmap(lambda i, q: scan(i, q, sps, num_steps))(i_sig, q_sig)
+
+
 def timing_recovery_gardner(i_signal, q_signal, sps: int) -> np.ndarray:
     """Gardner timing recovery -> integer sample indices (~n/sps symbols)."""
     if sps < 2:

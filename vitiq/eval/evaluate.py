@@ -36,8 +36,26 @@ def predict_all(
     x: np.ndarray,
     batch_size: int,
     preprocess_fn: Optional[Callable] = None,
+    mesh=None,
 ) -> np.ndarray:
-    """Batched argmax predictions for every row of x (final batch padded)."""
+    """Batched argmax predictions for every row of x (final batch padded).
+
+    With `mesh` (a jax.sharding.Mesh), serving runs multi-chip: each batch is
+    placed as a global array sharded over the mesh's data axis and parameters
+    are placed per the TP rules, so jit's partitioner scales inference across
+    ICI exactly like the sharded train step (the reference has no distributed
+    serving at all — SURVEY.md §2.9)."""
+    if mesh is not None:
+        from vitiq.parallel.mesh import batch_sharding, shard_params
+
+        sharding = batch_sharding(mesh)
+        params = shard_params(params, mesh)
+        if batch_size % np.prod([mesh.shape[a] for a in mesh.axis_names if "data" in a]):
+            raise ValueError(
+                f"batch_size {batch_size} must divide evenly over the mesh's "
+                f"data axes {dict(mesh.shape)}")
+    else:
+        sharding = None
 
     @jax.jit
     def step(params, bx):
@@ -51,6 +69,8 @@ def predict_all(
         n_valid = len(bx)
         if n_valid < batch_size:
             bx = np.concatenate([bx, np.zeros((batch_size - n_valid,) + bx.shape[1:], bx.dtype)])
+        if sharding is not None:
+            bx = jax.device_put(bx, sharding)
         preds[start:start + n_valid] = np.asarray(step(params, bx))[:n_valid]
     return preds
 
@@ -69,6 +89,7 @@ def evaluate_model_with_confusion(
     save_pickle: bool = True,
     make_plots: bool = True,
     verbose: bool = True,
+    mesh=None,
 ) -> Dict:
     """Full evaluation; returns the reference's result dict
     (overall_accuracy, snr_accuracies, confusion_matrix, predictions, labels,
@@ -78,7 +99,7 @@ def evaluate_model_with_confusion(
     labels = np.asarray(labels)
     snrs = np.asarray(snrs)
 
-    preds = predict_all(forward_fn, params, x, batch_size, preprocess_fn)
+    preds = predict_all(forward_fn, params, x, batch_size, preprocess_fn, mesh=mesh)
 
     # 1. overall confusion matrix
     if make_plots:

@@ -100,10 +100,21 @@ def encoder_apply(
         and jax.default_backend() == "tpu"
         and os.environ.get("VITIQ_NO_FUSED_LAYER") != "1"
     ):
-        from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v2_stack
+        from vitiq.ops.pallas.fused_encoder_layer import (
+            fused_encoder_layer_v2_stack,
+            fused_encoder_layer_v3_stack,
+        )
 
-        return fused_encoder_layer_v2_stack(
-            policy.cast_compute(x), params["layers"], cfg.n_head
+        # v3 (score-tile-streamed) is the default serving kernel; v2 kept for
+        # A/B (VITIQ_FUSED_VERSION=v2) — see fused_encoder_layer.py docstrings
+        version = os.environ.get("VITIQ_FUSED_VERSION", "v3")
+        if version == "v2":
+            return fused_encoder_layer_v2_stack(
+                policy.cast_compute(x), params["layers"], cfg.n_head
+            )
+        return fused_encoder_layer_v3_stack(
+            policy.cast_compute(x), params["layers"], cfg.n_head,
+            scores_bf16=os.environ.get("VITIQ_SCORES_BF16") == "1",
         )
 
     for layer_params, layer_rng in zip(params["layers"], layer_rngs):

@@ -289,6 +289,217 @@ def fused_encoder_layer_v2_stack(
     return xp[:B, :L, :D]
 
 
+def _fused_layer_kernel_v3(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    g1_ref, be1_ref, w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
+    o_ref, attn_scratch,
+    *, seq_len: int, n_head: int, scores_bf16: bool,
+):
+    """Score-tile-streamed attention variant.
+
+    What v3 changes vs v1, and why (all driven by the measured round-1
+    attribution: the wall is VMEM traffic over the [G, Lp, Lp] score tensors,
+    ~22 ms/layer on the flagship — docs/BENCHMARKS.md):
+
+    * Lk TILING AT 128: score/prob tensors are computed in [G, Lp, <=128]
+      key-column tiles. An Lp=144 lane dimension is physically padded to 256
+      lanes (two tiles), so every VMEM pass over an untiled score tensor
+      costs 1.78x its logical bytes; a 128-wide tile has zero lane padding.
+    * bf16 PROBS: the exp pass writes probabilities in bf16 (they feed a bf16
+      MXU matmul anyway), halving the probs write + read bytes. Optionally
+      (scores_bf16) the score matmul itself emits bf16.
+    * MXU DENOMINATOR: V is augmented with a ones column, so the softmax
+      denominator rides along in the probs @ [v|1] matmul (N=16 -> 32 fills
+      the same 128-wide MXU column tile; marginal cost ~0) and the separate
+      VPU lane-reduction pass over the full score tensor disappears.
+    * SCALE FOLDED INTO WEIGHTS: the host wrapper pre-multiplies W_q/b_q by
+      softmax_scale * log2(e), so the kernel's only per-score VPU work is a
+      single exp2 (and a bias add on the one partially-masked tile).
+
+    Net score-sized VMEM bytes per element: 35.6 -> ~8-12 (see the v3_stack
+    docstring); everything after attention is identical to v1.
+    """
+    g, lp, d = x_ref.shape
+    dh = d // n_head
+    x = x_ref[:]
+
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:]
+    qkv = qkv.astype(x.dtype)
+
+    # ones lane-block appended to each head's V: column 0 carries the softmax
+    # denominator through the MXU, columns 1..dh-1 are zero
+    ones_block = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=2) == 0,
+        1.0, 0.0,
+    ).astype(x.dtype)
+
+    score_t = jnp.bfloat16 if scores_bf16 else jnp.float32
+    for h in range(n_head):
+        q = qkv[:, :, h * dh:(h + 1) * dh]
+        k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
+        v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        vaug = jnp.concatenate([v, ones_block], axis=-1)  # [G, Lp, 2dh]
+        acc = None
+        for c0 in range(0, lp, 128):
+            t = min(128, lp - c0)
+            scores = jax.lax.dot_general(
+                q, k[:, c0:c0 + t, :],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=score_t,
+            )  # [G, Lp, t] — pre-scaled by scale*log2e via the folded W_q
+            if c0 + t > seq_len:
+                # full-tile iota: Mosaic rejects broadcasting a [1, 1, t]
+                # operand across the sublane dim on a narrow (<128-lane) tile
+                # ("Check failed: limits[i] <= dim(i)"), so build the mask at
+                # the tile's own shape — broadcasted_iota is free on the VPU
+                bias = jnp.where(
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (g, lp, t), dimension=2) + c0 < seq_len,
+                    0.0, _NEG_INF,
+                ).astype(score_t)
+                scores = scores + bias
+            probs = jnp.exp2(scores.astype(jnp.float32)).astype(x.dtype)
+            part = jax.lax.dot_general(
+                probs, vaug[:, c0:c0 + t, :],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [G, Lp, 2dh]: [:dh] = unnormalized out, [dh] = denom
+            acc = part if acc is None else acc + part
+        attn_scratch[:, :, h * dh:(h + 1) * dh] = (
+            acc[:, :, :dh] / acc[:, :, dh:dh + 1]).astype(attn_scratch.dtype)
+
+    proj = jax.lax.dot_general(
+        attn_scratch[:], wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[:]
+    x1 = _layer_norm(proj + x.astype(jnp.float32), g1_ref[:], be1_ref[:], x.dtype)
+    hmid = jax.lax.dot_general(
+        x1, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:]
+    hmid = jnp.maximum(hmid, 0.0).astype(x.dtype)
+    y = jax.lax.dot_general(
+        hmid, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:]
+    o_ref[:] = _layer_norm(y + x1.astype(jnp.float32), g2_ref[:], be2_ref[:],
+                           o_ref.dtype)
+
+
+def _pick_batch_block_v3(Lp: int, D: int, H: int, itemsize: int) -> int:
+    t = min(128, Lp)
+    for g in (32, 16, 8, 4, 2, 1):
+        x_like = g * Lp * D
+        vmem = (
+            2 * 2 * x_like * itemsize          # in/out double-buffered
+            + 3 * x_like * itemsize            # qkv
+            + x_like * itemsize                # attn scratch
+            + g * Lp * t * (4 + itemsize)      # one score tile f32 + probs tile
+            + 2 * g * Lp * H * itemsize        # ffn hidden (+relu copy)
+            + 3 * x_like * 4                   # f32 LN temps / residuals
+        )
+        if vmem <= 10 * 1024 * 1024:
+            return g
+    return 1
+
+
+_LOG2E = 1.4426950408889634
+
+
+def fused_encoder_layer_v3_stack(
+    x: jnp.ndarray,
+    layer_params_list,
+    n_head: int,
+    seq_len: Optional[int] = None,
+    layers_per_call: int = 2,
+    scores_bf16: bool = False,
+) -> jnp.ndarray:
+    """Run a stack of layers through the v3 (score-tile-streamed) kernel.
+
+    Plain [B, L, D] stream (no augmentation column — v1 layout, so the
+    activation stream has zero lane padding). Per-element score-sized VMEM
+    bytes: v1 untiled/padded = (4+4+4+4+4) x 1.78 = 35.6; v3 = 4 (scores
+    write) + 4 (exp read) + 2 (probs write) + 2 (MXU read) = 12, or 8 with
+    scores_bf16. `layers_per_call` groups consecutive layers into one
+    pallas_call as in v2_stack.
+    """
+    B, L, D = x.shape
+    seq_len = L if seq_len is None else seq_len
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    Lp = _round_up(L, sublane)
+    G = _pick_batch_block_v3(Lp, D, max(
+        lp_["ffn"]["linear1"]["kernel"].shape[1] for lp_ in layer_params_list
+    ), x.dtype.itemsize)
+    Bp = _round_up(B, G)
+    xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
+
+    data_block = pl.BlockSpec((G, Lp, D), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    def rep(shape):
+        index_map = lambda i: tuple(0 for _ in shape)
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    scale = _LOG2E / ((D // n_head) ** 0.5)
+
+    def layer_operands(lp_):
+        ap = lp_["attention"]
+        # fold softmax scale * log2(e) into the q projection (constants,
+        # folded by XLA at trace time) — the kernel then needs no per-score
+        # multiply at all, just exp2
+        wqkv = jnp.concatenate([
+            ap["w_q"]["kernel"].astype(jnp.float32) * scale,
+            ap["w_k"]["kernel"].astype(jnp.float32),
+            ap["w_v"]["kernel"].astype(jnp.float32),
+        ], axis=1).astype(x.dtype)
+        bqkv = jnp.concatenate([
+            ap["w_q"]["bias"].astype(jnp.float32) * scale,
+            ap["w_k"]["bias"].astype(jnp.float32),
+            ap["w_v"]["bias"].astype(jnp.float32),
+        ]).astype(jnp.float32)
+        return [
+            wqkv, bqkv,
+            ap["w_concat"]["kernel"].astype(x.dtype),
+            ap["w_concat"]["bias"].astype(jnp.float32),
+            lp_["norm1"]["gamma"].astype(jnp.float32),
+            lp_["norm1"]["beta"].astype(jnp.float32),
+            lp_["ffn"]["linear1"]["kernel"].astype(x.dtype),
+            lp_["ffn"]["linear1"]["bias"].astype(jnp.float32),
+            lp_["ffn"]["linear2"]["kernel"].astype(x.dtype),
+            lp_["ffn"]["linear2"]["bias"].astype(jnp.float32),
+            lp_["norm2"]["gamma"].astype(jnp.float32),
+            lp_["norm2"]["beta"].astype(jnp.float32),
+        ]
+
+    N_OPS = 12
+    for start in range(0, len(layer_params_list), layers_per_call):
+        group = layer_params_list[start:start + layers_per_call]
+        flat = [op for lp_ in group for op in layer_operands(lp_)]
+
+        def kernel(x_ref, *rest, n_layers=len(group)):
+            weight_refs, o_ref, attn_scratch = rest[:-2], rest[-2], rest[-1]
+            for c in range(n_layers):
+                src = x_ref if c == 0 else o_ref
+                _fused_layer_kernel_v3(
+                    src, *weight_refs[c * N_OPS:(c + 1) * N_OPS],
+                    o_ref, attn_scratch,
+                    seq_len=seq_len, n_head=n_head, scores_bf16=scores_bf16,
+                )
+
+        xp = pl.pallas_call(
+            kernel,
+            grid=(Bp // G,),
+            in_specs=[data_block] + [rep(o.shape) for o in flat],
+            out_specs=data_block,
+            out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
+            scratch_shapes=[pltpu.VMEM((G, Lp, D), x.dtype)],
+        )(xp, *flat)
+    return xp[:B, :L, :D]
+
+
 def _row_quant(t):
     """[..., K] float -> (int8 values, [..., 1] f32 scales). Symmetric absmax."""
     t32 = t.astype(jnp.float32)
