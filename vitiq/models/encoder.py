@@ -105,9 +105,9 @@ def encoder_apply(
             fused_encoder_layer_v3_stack,
         )
 
-        # v3 (score-tile-streamed) is the default serving kernel; v2 kept for
-        # A/B (VITIQ_FUSED_VERSION=v2) — see fused_encoder_layer.py docstrings
-        version = os.environ.get("VITIQ_FUSED_VERSION", "v3")
+        # serving kernel selector (see fused_encoder_layer.py docstrings);
+        # override with VITIQ_FUSED_VERSION={v2,v3}
+        version = os.environ.get("VITIQ_FUSED_VERSION", "v2")
         if version == "v2":
             return fused_encoder_layer_v2_stack(
                 policy.cast_compute(x), params["layers"], cfg.n_head
