@@ -187,3 +187,21 @@ class TestBenchEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+def test_timing_recovery_comparison_figure(tmp_path):
+    """One figure, all four contract methods, true-vs-recovered strobes
+    (parity with the reference's test_dsp_functions.py:175-241 visual)."""
+    from vitiq.viz import plot_timing_recovery_comparison
+
+    p = plot_timing_recovery_comparison(tmp_path / "timing.png", dpi=60)
+    assert p.exists() and p.stat().st_size > 10_000
+
+
+def test_run_visualization_emits_timing_panel_at_sps2(tmp_path):
+    from vitiq.viz import run_visualization
+
+    written = run_visualization(output_dir=str(tmp_path), modulations=["QPSK"],
+                                num_samples=1, sps=2, dpi=60)
+    names = {p.name for p in written}
+    assert "timing_recovery_comparison.png" in names

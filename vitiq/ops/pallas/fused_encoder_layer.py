@@ -350,18 +350,21 @@ def _fused_layer_kernel_v3(
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=score_t,
             )  # [G, Lp, t] — pre-scaled by scale*log2e via the folded W_q
+            scores = scores.astype(jnp.float32)
             if c0 + t > seq_len:
-                # full-tile iota: Mosaic rejects broadcasting a [1, 1, t]
-                # operand across the sublane dim on a narrow (<128-lane) tile
-                # ("Check failed: limits[i] <= dim(i)"), so build the mask at
-                # the tile's own shape — broadcasted_iota is free on the VPU
-                bias = jnp.where(
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (g, lp, t), dimension=2) + c0 < seq_len,
-                    0.0, _NEG_INF,
-                ).astype(score_t)
-                scores = scores + bias
-            probs = jnp.exp2(scores.astype(jnp.float32)).astype(x.dtype)
+                # -inf-equivalent additive bias built with pure arithmetic
+                # (iota -> clamp -> fma): (valid-1)*1e30 gives exactly 0 for
+                # valid keys and -1e30 for padded ones, so exp2 underflows
+                # the padded columns to an exact 0 that drops out of both
+                # the output and the ones-column denominator.
+                # The iota is generated at a FULL 128-lane tile and sliced:
+                # Mosaic crashes lowering iota (and selects) on <128-lane
+                # shapes here ("Check failed: limits[i] <= dim(i)").
+                key_pos = jax.lax.broadcasted_iota(
+                    jnp.int32, (g, lp, 128), dimension=2)[:, :, :t] + c0
+                valid = jnp.clip((seq_len - key_pos).astype(jnp.float32), 0.0, 1.0)
+                scores = scores + (valid - 1.0) * -_NEG_INF
+            probs = jnp.exp2(scores).astype(x.dtype)
             part = jax.lax.dot_general(
                 probs, vaug[:, c0:c0 + t, :],
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),

@@ -196,5 +196,80 @@ def run_visualization(
         p = out / "preprocessing_overview.png"
         plot_overview(frames, stats, p, dpi=dpi)
         written.append(p)
+    if sps > 1:
+        # four-method timing-recovery A/B panel (runnable without the dataset)
+        p = out / "timing_recovery_comparison.png"
+        plot_timing_recovery_comparison(p, sps=sps, dpi=dpi)
+        written.append(p)
     print(f"wrote {len(written)} figures to {out}")
     return written
+
+
+def plot_timing_recovery_comparison(
+    save_path: str | Path,
+    modulation: str = "QPSK",
+    num_symbols: int = 50,
+    sps: int = 2,
+    snr_db: float = 15.0,
+    seed: int = 42,
+    dpi: int = 150,
+) -> Path:
+    """Visual A/B of ALL FOUR timing-recovery methods on one synthetic signal
+    — true-vs-recovered strobes per method (the reference's DSP test script
+    produced this figure for two methods, ref: test_dsp_functions.py:175-241;
+    here every contract method gets a panel).
+
+    Layout: raw trajectory + time-domain strobes on the top row, one
+    recovered-constellation panel per method below.
+    """
+    from vitiq.data import generate_test_signal
+
+    i_sig, q_sig, true_idx = generate_test_signal(
+        modulation, num_symbols=num_symbols, sps=sps, snr_db=snr_db, seed=seed)
+    methods = ("simple_energy", "simple_correlation", "gardner", "mueller_muller")
+
+    fig, axes = plt.subplots(2, 3, figsize=(18, 10))
+    fig.suptitle(
+        f"Timing Recovery Comparison — {modulation}, sps={sps}, {snr_db:g} dB",
+        fontsize=15, fontweight="bold")
+
+    ax = axes[0, 0]
+    ax.scatter(i_sig, q_sig, alpha=0.2, s=3, color="gray", label="Raw samples")
+    ax.scatter(i_sig[true_idx], q_sig[true_idx], alpha=0.6, s=30,
+               color="green", marker="x", label=f"True ({len(true_idx)})")
+    ax.set_title("Raw Trajectory with True Symbols")
+    ax.set_xlabel("I"); ax.set_ylabel("Q"); ax.legend(); ax.grid(alpha=0.3)
+    ax.axis("equal")
+
+    ax = axes[0, 1]
+    t = np.arange(len(i_sig))
+    ax.plot(t, i_sig, alpha=0.7, linewidth=0.8, label="I")
+    ax.plot(t, q_sig, alpha=0.7, linewidth=0.8, label="Q")
+    ax.scatter(true_idx, i_sig[true_idx], s=20, color="red", marker="o", zorder=5)
+    ax.set_title("Time Domain with True Symbol Strobes")
+    ax.set_xlabel("Sample Index"); ax.set_ylabel("Amplitude")
+    ax.legend(); ax.grid(alpha=0.3)
+
+    panels = [axes[0, 2], axes[1, 0], axes[1, 1], axes[1, 2]]
+    for ax, method in zip(panels, methods):
+        res = extract_symbols(i_sig, q_sig, sps=sps, method=method)
+        rec_idx = np.asarray(res["symbol_indices"])
+        # mean |strobe - nearest true strobe| in samples (the contract's
+        # quality metric, ref: test_dsp_functions.py:129-153)
+        err = float(np.mean(np.min(
+            np.abs(rec_idx[:, None] - np.asarray(true_idx)[None, :]), axis=1)))
+        ax.scatter(res["symbol_i"], res["symbol_q"], alpha=0.6, s=20,
+                   color="red", marker="o",
+                   label=f"Recovered ({len(rec_idx)})")
+        ax.scatter(i_sig[true_idx], q_sig[true_idx], alpha=0.6, s=30,
+                   color="green", marker="x", label=f"True ({len(true_idx)})")
+        ax.set_title(f"{method}  (mean timing err {err:.2f} samp)")
+        ax.set_xlabel("I"); ax.set_ylabel("Q"); ax.legend(); ax.grid(alpha=0.3)
+        ax.axis("equal")
+
+    save_path = Path(save_path)
+    save_path.parent.mkdir(parents=True, exist_ok=True)
+    plt.tight_layout()
+    plt.savefig(save_path, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
+    return save_path
