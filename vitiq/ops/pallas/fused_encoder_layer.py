@@ -329,18 +329,34 @@ def _fused_layer_kernel_v3(
     ) + bqkv_ref[:]
     qkv = qkv.astype(x.dtype)
 
-    # ones lane-block appended to each head's V: column 0 carries the softmax
-    # denominator through the MXU, columns 1..dh-1 are zero
-    ones_block = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=2) == 0,
-        1.0, 0.0,
-    ).astype(x.dtype)
+    # Padded-key masking lives ENTIRELY in the augmented V operand: rows
+    # >= seq_len of [v | ones] are zeroed, so padded keys contribute exactly
+    # 0 to both the attention output and the ones-column denominator — the
+    # softmax is taken over valid keys only, with NO masking op anywhere on
+    # the score path. (Elementwise-combining a matmul OUTPUT with an
+    # iota-derived mask on a narrow <128-lane tile crashes the Mosaic
+    # lowering — "Check failed: limits[i] <= dim(i)" — whereas iota/select
+    # on plain values feeding matmul INPUTS lowers fine; see
+    # scripts/tpu_probe_mask_ops.py for the op-by-op bisection.)
+    # Correctness requires the padded columns' probs to stay FINITE, which
+    # holds under the same |score| < 88 bound as the rest of the kernel.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=2)
+    if seq_len < lp:
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=1)
+        ones_block = jnp.where((lane == 0) & (row < seq_len), 1.0, 0.0)
+        v_mask = (row < seq_len)
+    else:
+        ones_block = jnp.where(lane == 0, 1.0, 0.0)
+        v_mask = None
+    ones_block = ones_block.astype(x.dtype)
 
     score_t = jnp.bfloat16 if scores_bf16 else jnp.float32
     for h in range(n_head):
         q = qkv[:, :, h * dh:(h + 1) * dh]
         k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
         v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        if v_mask is not None:
+            v = jnp.where(v_mask, v, 0)
         vaug = jnp.concatenate([v, ones_block], axis=-1)  # [G, Lp, 2dh]
         acc = None
         for c0 in range(0, lp, 128):
@@ -350,21 +366,7 @@ def _fused_layer_kernel_v3(
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=score_t,
             )  # [G, Lp, t] — pre-scaled by scale*log2e via the folded W_q
-            scores = scores.astype(jnp.float32)
-            if c0 + t > seq_len:
-                # -inf-equivalent additive bias built with pure arithmetic
-                # (iota -> clamp -> fma): (valid-1)*1e30 gives exactly 0 for
-                # valid keys and -1e30 for padded ones, so exp2 underflows
-                # the padded columns to an exact 0 that drops out of both
-                # the output and the ones-column denominator.
-                # The iota is generated at a FULL 128-lane tile and sliced:
-                # Mosaic crashes lowering iota (and selects) on <128-lane
-                # shapes here ("Check failed: limits[i] <= dim(i)").
-                key_pos = jax.lax.broadcasted_iota(
-                    jnp.int32, (g, lp, 128), dimension=2)[:, :, :t] + c0
-                valid = jnp.clip((seq_len - key_pos).astype(jnp.float32), 0.0, 1.0)
-                scores = scores + (valid - 1.0) * -_NEG_INF
-            probs = jnp.exp2(scores).astype(x.dtype)
+            probs = jnp.exp2(scores.astype(jnp.float32)).astype(x.dtype)
             part = jax.lax.dot_general(
                 probs, vaug[:, c0:c0 + t, :],
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),

@@ -33,18 +33,38 @@ MAX_BOUNDS = np.array([1, 512, 16, 8, 2048, 0.4, 5e-3, 128, 64], dtype=np.float6
 DIM = 9
 
 
-def decode_particle(p: np.ndarray) -> Dict:
-    """Continuous position -> valid hyperparameter dict."""
+def _snap(v, grid):
+    return min(grid, key=lambda g: abs(g - v))
+
+
+def decode_particle(p: np.ndarray, bucket: bool = False) -> Dict:
+    """Continuous position -> valid hyperparameter dict.
+
+    bucket=True additionally snaps every SHAPE-AFFECTING dimension to a
+    coarse grid so particles collide onto shared architectures. This is what
+    makes the sweep TPU-viable: each distinct architecture costs one XLA
+    compile (minutes through this environment's remote AOT service), and the
+    fitness memoizes compiled steps per architecture — with bucketing, the
+    swarm's 18x26 evaluations collapse onto a few dozen compiles instead of
+    ~468. The learning rate stays CONTINUOUS: it is an injected state scalar
+    (vitiq/train/optim.py), so it never triggers recompilation.
+    """
     model_type = int(round(np.clip(p[0], 0, 1)))  # 0 = vit, 1 = rawiq
     n_head = int(np.clip(round(p[2]), 2, 16))
     d_model = int(np.clip(round(p[1]), 32, 512))
-    d_model = max(n_head, (d_model // n_head) * n_head)  # divisibility
     n_layers = int(np.clip(round(p[3]), 1, 8))
     ffn_hidden = int(np.clip(round(p[4]), 64, 2048))
     drop_prob = float(np.clip(p[5], 0.0, 0.4))
     lr = float(np.clip(p[6], 1e-5, 5e-3))
     batch_size = int(np.clip(round(p[7]), 16, 128))
     size = int(np.clip(round(p[8]), 4, 64))
+    if bucket:
+        n_head = _snap(n_head, (2, 4, 8, 16))
+        d_model = _snap(d_model, (32, 64, 128, 256, 512))
+        ffn_hidden = _snap(ffn_hidden, (64, 128, 256, 512, 1024, 2048))
+        batch_size = _snap(batch_size, (16, 32, 64, 128))
+        drop_prob = round(drop_prob * 20) / 20  # 0.05 grid (a jit constant)
+    d_model = max(n_head, (d_model // n_head) * n_head)  # divisibility
     if model_type == 0:
         # patch must divide 32 and 64 -> {4, 8, 16, 32}
         patch = min((4, 8, 16, 32), key=lambda v: abs(v - size))
@@ -126,10 +146,17 @@ def global_best_pso(
 def make_amc_fitness(
     train_data, valid_data, num_classes: int, seq_length: int,
     train_steps: int = 30, eval_batches: int = 4, seed: int = 0,
+    bucket: bool = False,
 ) -> Callable[[np.ndarray], np.ndarray]:
     """Fitness for the AMC search space: -val_accuracy after `train_steps`
     jitted steps (the sketch's fast_train, fixed: real forward on batches,
-    correct variable names — ref bugs catalogued in SURVEY.md §2.7)."""
+    correct variable names — ref bugs catalogued in SURVEY.md §2.7).
+
+    Compiled train/eval steps are MEMOIZED per architecture (everything
+    shape-affecting; the learning rate is excluded because it is injected
+    state, vitiq/train/optim.py) — revisited architectures cost zero
+    compiles. Combine with bucket=True (see decode_particle) for TPU runs.
+    The returned callable exposes `.compile_cache` for introspection."""
     import jax
     import jax.numpy as jnp
 
@@ -142,8 +169,12 @@ def make_amc_fitness(
     x_train, y_train = train_data
     x_valid, y_valid = valid_data
     stats = {"i_mean": 0.0, "i_std": 1.0, "q_mean": 0.0, "q_std": 1.0}
+    compile_cache: Dict[tuple, tuple] = {}
 
-    def eval_one(hp: Dict) -> float:
+    def compiled_for(hp: Dict):
+        key = tuple(sorted((k, v) for k, v in hp.items() if k != "learning_rate"))
+        if key in compile_cache:
+            return compile_cache[key]
         if hp["arm"] == "vit":
             # fold the IQ frame into the largest image that fits the frame
             h, w = 32, (2 * seq_length) // 32
@@ -160,13 +191,23 @@ def make_amc_fitness(
                               drop_prob=hp["drop_prob"], seq_length=seq_length,
                               segment_size=hp["segment_size"])
             pre = lambda x: preprocess_batch_rawiq(x, stats)
+        # learning_rate here is only the tx template's initial value; each
+        # evaluation overwrites it in the state (inject_hyperparams)
         tcfg = TrainConfig(batch_size=hp["batch_size"], learning_rate=hp["learning_rate"])
         fwd = make_forward(cfg)
-        params = init_amc_params(jax.random.PRNGKey(seed), cfg)
         tx = make_optimizer(tcfg)
-        state = create_train_state(params, tcfg)
         step = make_train_step(fwd, tx, tcfg.label_smoothing, pre)
         estep = make_eval_step(fwd, 0.0, pre)
+        compile_cache[key] = (cfg, tcfg, step, estep)
+        return compile_cache[key]
+
+    def eval_one(hp: Dict) -> float:
+        from vitiq.train.optim import set_learning_rate
+
+        cfg, tcfg, step, estep = compiled_for(hp)
+        params = init_amc_params(jax.random.PRNGKey(seed), cfg)
+        state = create_train_state(params, tcfg)
+        state = set_learning_rate(state, hp["learning_rate"])
 
         rng = jax.random.PRNGKey(seed)
         srng = np.random.default_rng(seed)
@@ -187,7 +228,7 @@ def make_amc_fitness(
     def fitness(X: np.ndarray) -> np.ndarray:
         costs = np.empty(len(X))
         for i, p in enumerate(X):
-            hp = decode_particle(p)
+            hp = decode_particle(p, bucket=bucket)
             try:
                 acc = eval_one(hp)
             except (ValueError, RuntimeError) as e:
@@ -196,6 +237,7 @@ def make_amc_fitness(
             costs[i] = -acc
         return costs
 
+    fitness.compile_cache = compile_cache
     return fitness
 
 
@@ -211,8 +253,19 @@ def run_pso_sweep(
     frames_per_class: int = 512,
     frame_len: int = 256,
     verbose: bool = True,
+    bucket: Optional[bool] = None,
 ) -> Dict:
-    """End-to-end sweep over the 9-dim reference search space."""
+    """End-to-end sweep over the 9-dim reference search space.
+
+    `bucket` defaults to True on TPU backends (architecture bucketing +
+    per-architecture compile memoization keep the sweep to a few dozen
+    compiles instead of one per evaluation — see decode_particle) and False
+    elsewhere (CPU compiles are cheap; the unbucketed space is the
+    reference sketch's exact search space)."""
+    if bucket is None:
+        import jax
+
+        bucket = jax.default_backend() == "tpu"
     if source == "synthetic":
         from vitiq.data import SyntheticAMCDataset
 
@@ -237,7 +290,7 @@ def run_pso_sweep(
         num_classes, seq_length = len(dcfg.target_modulations), x_t.shape[1]
 
     fitness = make_amc_fitness(train, valid, num_classes, seq_length,
-                               train_steps=train_steps, seed=seed)
+                               train_steps=train_steps, seed=seed, bucket=bucket)
     result = global_best_pso(fitness, n_particles=n_particles, iters=iters,
                              seed=seed, verbose=verbose)
     out = {
@@ -245,6 +298,8 @@ def run_pso_sweep(
         "best_hparams": result.best_hparams,
         "cost_history": result.cost_history,
         "evaluations": result.evaluations,
+        "distinct_architectures_compiled": len(fitness.compile_cache),
+        "bucketed": bucket,
     }
     if output_path:
         Path(output_path).write_text(json.dumps(out, indent=2, default=float))
