@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Accuracy revalidation for the d_head>=32 serving variants.
+
+The measured round-1 attribution (docs/BENCHMARKS.md) says the serving wall
+is the per-head score-tensor work; d_head = d_model/n_head >= 32 shrinks it by
+2-4x. This script answers "does changing H=8 -> H=4/H=2 cost accuracy?" on
+the synthetic head-to-head harness: identical data, seeds, budget — only
+n_head differs.
+
+Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/head_variant_validation.py \
+           [epochs] [frames_per_class]
+Writes head_variant_validation.json next to the experiment dirs.
+"""
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    frames_per_class = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+
+    from vitiq.config import DataConfig, ExperimentConfig, ModelConfig, TrainConfig
+    from vitiq.runner import run_training
+
+    results = {}
+    classes = ("BPSK", "QPSK", "8PSK", "16QAM", "64QAM")
+    for n_head in (8, 4, 2):
+        cfg = ExperimentConfig(
+            model=ModelConfig(arm="vit", num_classes=len(classes), d_model=128,
+                              n_head=n_head, n_layers=6, ffn_hidden=512,
+                              drop_prob=0.1, patch_size=4, numerics="reference"),
+            data=DataConfig(source="synthetic", synthetic_classes=classes,
+                            synthetic_frames_per_class=frames_per_class),
+            train=TrainConfig(batch_size=256, num_epochs=epochs, patience=epochs),
+            experiment_name=f"head_variant_h{n_head}",
+        )
+        summary = run_training(cfg, verbose=True)
+        results[f"h{n_head}"] = {
+            "d_head": 128 // n_head,
+            "test_overall_accuracy": summary.get("test_overall_accuracy"),
+            "best_val_loss": summary.get("best_val_loss"),
+            "epochs_run": summary.get("epochs_run"),
+        }
+        print(f"n_head={n_head} (d_head={128 // n_head}): "
+              f"test acc {summary.get('test_overall_accuracy'):.4f}", flush=True)
+
+    base = results["h8"]["test_overall_accuracy"]
+    for k, v in results.items():
+        v["delta_vs_h8"] = v["test_overall_accuracy"] - base
+    out = pathlib.Path("head_variant_validation.json")
+    out.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

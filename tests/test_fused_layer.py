@@ -133,3 +133,25 @@ def test_v3_denominator_column_exact():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(fused_encoder_layer_v3_stack(x, [params], 8))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("Lx", [17, 129])
+def test_v3_attn_int8_close_to_reference(Lx):
+    """int8 attention core: quantization noise only (no structural error).
+    Verifies the scale-cancellation argument (per-row probs scale and
+    per-head vaug scale drop out of out/denominator) and the cross-tile
+    running-max merge."""
+    from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v3_stack
+
+    rng = np.random.default_rng(9)
+    params = L.encoder_layer_init(jax.random.PRNGKey(30), 128, 256)
+    x = jnp.asarray(rng.standard_normal((2, Lx, 128)), jnp.float32)
+    want = np.asarray(L.encoder_layer_apply(params, x, 8, 0.0, None, False,
+                                            policy=REFERENCE))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_encoder_layer_v3_stack(
+            x, [params], 8, attn_int8=True))
+    # int8 attention-core tolerance: ~1% of activation scale
+    err = np.abs(got - want).max()
+    assert err < 0.15, f"int8 attention core error too large: {err}"
+    np.testing.assert_allclose(got, want, atol=0.15)

@@ -80,10 +80,21 @@ def _time_amortized(step_fn: Callable, args, steps: int, inner: int) -> Dict[str
 
 
 def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
-                      steps: int = 30, numerics: str = "tpu") -> Dict:
-    """End-to-end DSP(normalize)+model inference frames/sec/chip."""
+                      steps: int = 30, numerics: str = "tpu",
+                      n_head: Optional[int] = None) -> Dict:
+    """End-to-end DSP(normalize)+model inference frames/sec/chip.
+
+    `n_head` overrides the flagship head count for the d_head>=32 roofline
+    variants (d_head = d_model / n_head; e.g. n_head=4 -> d_head=32): fewer,
+    wider heads shrink the per-head score-tensor work that the measured
+    round-1 attribution identified as the serving wall. Accuracy of the
+    variants is revalidated by scripts/head_variant_validation.py."""
     batch_size = batch_size or _default_batch()
     cfg = flagship_vit_config(numerics) if arm == "vit" else flagship_rawiq_config(numerics)
+    if n_head is not None:
+        from dataclasses import replace
+
+        cfg = replace(cfg, n_head=n_head)
     params = init_amc_params(jax.random.PRNGKey(0), cfg)
     fwd = make_forward(cfg)
     if arm == "vit":
@@ -101,8 +112,9 @@ def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
     )
     t = _time_amortized(infer, (params, x), steps, _default_inner())
     fps = batch_size / t["p50_s"]
+    suffix = "" if n_head is None else f"_h{n_head}"
     return {
-        "metric": f"iq_frames_per_sec_per_chip_{arm}",
+        "metric": f"iq_frames_per_sec_per_chip_{arm}{suffix}",
         "value": fps,
         "unit": "frames/s",
         "batch_size": batch_size,
@@ -343,7 +355,10 @@ def bench_e2e_serving(num_frames: int = 65536, batch_size: Optional[int] = None,
 
 
 def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = None,
-                   steps: int = 30) -> Dict:
+                   steps: int = 30, n_head: Optional[int] = None) -> Dict:
+    if which == "head_variant":
+        # d_head = d_model / n_head roofline variant (default d_head=32)
+        return bench_fused_infer("vit", batch_size, steps, n_head=n_head or 4)
     if which == "fused_vit_infer":
         return bench_fused_infer("vit", batch_size, steps)
     if which == "rawiq_infer":

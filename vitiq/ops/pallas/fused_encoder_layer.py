@@ -394,6 +394,114 @@ def _fused_layer_kernel_v3(
                            o_ref.dtype)
 
 
+def _fused_layer_kernel_v3_attn_int8(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    g1_ref, be1_ref, w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
+    o_ref, attn_scratch,
+    *, seq_len: int, n_head: int,
+):
+    """v3 with an INT8 ATTENTION CORE (weights stay bf16).
+
+    After v3's VMEM cuts the flagship is MXU-pass-bound and the score + PV
+    matmuls are ~73% of all passes; int8 runs the MXU at 2x the bf16 rate, so
+    both are quantized DYNAMICALLY in-kernel:
+
+    * q rows -> int8 with per-row absmax scales (a row-vector multiply on the
+      dequant, the same broadcast class as the denominator divide); k -> int8
+      with one per-head-block scale (k rows are LayerNorm'd, so their norms
+      are tight enough for a tensor scale).
+    * probs: exp2(scores - row_max) in (0, 1] quantized to uint7 in int8.
+      ANY per-row scaling of probs cancels exactly in the final
+      out/denominator division (both are linear in the row), so the
+      quantization needs no dequant scale at all — and the row-max subtract
+      incidentally makes this variant immune to the |score| < 88 overflow
+      assumption the other kernels document.
+
+    Everything outside attention is the v3 bf16 path.
+    """
+    g, lp, d = x_ref.shape
+    dh = d // n_head
+    x = x_ref[:]
+
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:]
+    qkv = qkv.astype(x.dtype)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=2)
+    if seq_len < lp:
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=1)
+        ones_block = jnp.where((lane == 0) & (row < seq_len), 1.0, 0.0)
+        v_mask = (row < seq_len)
+    else:
+        ones_block = jnp.where(lane == 0, 1.0, 0.0)
+        v_mask = None
+    ones_block = ones_block.astype(x.dtype)
+
+    for h in range(n_head):
+        q = qkv[:, :, h * dh:(h + 1) * dh].astype(jnp.float32)
+        k = qkv[:, :, d + h * dh:d + (h + 1) * dh].astype(jnp.float32)
+        v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        if v_mask is not None:
+            v = jnp.where(v_mask, v, 0)
+        vaug = jnp.concatenate([v, ones_block], axis=-1)  # [G, Lp, 2dh]
+
+        aq = jnp.maximum(jnp.max(jnp.abs(q), axis=-1, keepdims=True), 1e-8)
+        qq = jnp.round(q * (127.0 / aq)).astype(jnp.int8)
+        ak = jnp.maximum(jnp.max(jnp.abs(k)), 1e-8)  # per-head-block scalar
+        kq = jnp.round(k * (127.0 / ak)).astype(jnp.int8)
+        # scale*log2e is folded into W_q by the host wrapper, so the dequant
+        # factor aq*ak/127^2 is the only multiplier left before exp2
+        deq = aq * (ak / (127.0 * 127.0))  # [G, Lp, 1]
+        # per-head-block vaug scale: scales out and denominator uniformly,
+        # so it cancels exactly in the final division (no dequant needed)
+        av = jnp.maximum(jnp.max(jnp.abs(vaug.astype(jnp.float32))), 1e-8)
+        vq = jnp.round(vaug.astype(jnp.float32) * (127.0 / av)).astype(jnp.int8)
+
+        acc = None
+        for c0 in range(0, lp, 128):
+            t = min(128, lp - c0)
+            scores = jax.lax.dot_general(
+                qq, kq[:, c0:c0 + t, :],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * deq  # [G, Lp, t]
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            probs = jnp.round(jnp.exp2(scores - m) * 127.0).astype(jnp.int8)
+            part = jax.lax.dot_general(
+                probs, vq[:, c0:c0 + t, :],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)  # [G, Lp, 2dh]
+            # NOTE per-tile row maxes differ; rescale tiles onto a common max
+            if acc is None:
+                acc, acc_m = part, m
+            else:
+                new_m = jnp.maximum(acc_m, m)
+                acc = acc * jnp.exp2(acc_m - new_m) + part * jnp.exp2(m - new_m)
+                acc_m = new_m
+        attn_scratch[:, :, h * dh:(h + 1) * dh] = (
+            acc[:, :, :dh] / acc[:, :, dh:dh + 1]).astype(attn_scratch.dtype)
+
+    proj = jax.lax.dot_general(
+        attn_scratch[:], wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[:]
+    x1 = _layer_norm(proj + x.astype(jnp.float32), g1_ref[:], be1_ref[:], x.dtype)
+    hmid = jax.lax.dot_general(
+        x1, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:]
+    hmid = jnp.maximum(hmid, 0.0).astype(x.dtype)
+    y = jax.lax.dot_general(
+        hmid, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:]
+    o_ref[:] = _layer_norm(y + x1.astype(jnp.float32), g2_ref[:], be2_ref[:],
+                           o_ref.dtype)
+
+
 def _pick_batch_block_v3(Lp: int, D: int, H: int, itemsize: int) -> int:
     t = min(128, Lp)
     for g in (32, 16, 8, 4, 2, 1):
@@ -419,8 +527,10 @@ def fused_encoder_layer_v3_stack(
     layer_params_list,
     n_head: int,
     seq_len: Optional[int] = None,
-    layers_per_call: int = 2,
+    layers_per_call: Optional[int] = None,
     scores_bf16: bool = False,
+    g_override: Optional[int] = None,
+    attn_int8: bool = False,
 ) -> jnp.ndarray:
     """Run a stack of layers through the v3 (score-tile-streamed) kernel.
 
@@ -431,11 +541,16 @@ def fused_encoder_layer_v3_stack(
     scores_bf16. `layers_per_call` groups consecutive layers into one
     pallas_call as in v2_stack.
     """
+    import os
+
     B, L, D = x.shape
     seq_len = L if seq_len is None else seq_len
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     Lp = _round_up(L, sublane)
-    G = _pick_batch_block_v3(Lp, D, max(
+    # probe knobs (scripts/tpu_time.py A/Bs): VITIQ_V3_G, VITIQ_V3_LPC
+    g_override = g_override or int(os.environ.get("VITIQ_V3_G", "0")) or None
+    layers_per_call = layers_per_call or int(os.environ.get("VITIQ_V3_LPC", "0")) or 2
+    G = g_override or _pick_batch_block_v3(Lp, D, max(
         lp_["ffn"]["linear1"]["kernel"].shape[1] for lp_ in layer_params_list
     ), x.dtype.itemsize)
     Bp = _round_up(B, G)
@@ -488,11 +603,18 @@ def fused_encoder_layer_v3_stack(
             weight_refs, o_ref, attn_scratch = rest[:-2], rest[-2], rest[-1]
             for c in range(n_layers):
                 src = x_ref if c == 0 else o_ref
-                _fused_layer_kernel_v3(
-                    src, *weight_refs[c * N_OPS:(c + 1) * N_OPS],
-                    o_ref, attn_scratch,
-                    seq_len=seq_len, n_head=n_head, scores_bf16=scores_bf16,
-                )
+                if attn_int8:
+                    _fused_layer_kernel_v3_attn_int8(
+                        src, *weight_refs[c * N_OPS:(c + 1) * N_OPS],
+                        o_ref, attn_scratch,
+                        seq_len=seq_len, n_head=n_head,
+                    )
+                else:
+                    _fused_layer_kernel_v3(
+                        src, *weight_refs[c * N_OPS:(c + 1) * N_OPS],
+                        o_ref, attn_scratch,
+                        seq_len=seq_len, n_head=n_head, scores_bf16=scores_bf16,
+                    )
 
         xp = pl.pallas_call(
             kernel,
