@@ -1,6 +1,12 @@
 #!/usr/bin/env python
 """On-TPU correctness spot-check: the fused-layer bf16 inference path vs the
-reference f32 path, on the flagship model. Run on a TPU backend."""
+reference f32 path. Run on a TPU backend.
+
+Usage: python scripts/tpu_check_fused.py [vit|conv1d] [batch]
+  vit     — flagship ViT d128/L6 (129 tokens), default
+  conv1d  — rawIQ conv1d mode (1025 tokens, ref:
+            transformer_rawIQ/models/encoder.py:34-41)
+"""
 import pathlib
 import sys
 
@@ -15,16 +21,27 @@ from vitiq.utils.compile_cache import enable_persistent_compilation_cache
 enable_persistent_compilation_cache()
 
 from vitiq.bench import FLAGSHIP_STATS, flagship_vit_config
-from vitiq.dsp import preprocess_batch_vit
+from vitiq.config import ModelConfig
+from vitiq.dsp import preprocess_batch_rawiq, preprocess_batch_vit
 from vitiq.models import init_amc_params, make_forward
 
 
 def main() -> int:
-    cfg_tpu = flagship_vit_config("tpu")
-    cfg_ref = flagship_vit_config("reference")
+    which = sys.argv[1] if len(sys.argv) > 1 else "vit"
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    if which == "conv1d":
+        mk = lambda numerics: ModelConfig(
+            arm="rawiq", num_classes=19, d_model=128, n_head=8, n_layers=6,
+            ffn_hidden=1024, drop_prob=0.2, embedding_type="conv1d",
+            seq_length=1024, numerics=numerics)
+        cfg_tpu, cfg_ref = mk("tpu"), mk("reference")
+        pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
+    else:
+        cfg_tpu = flagship_vit_config("tpu")
+        cfg_ref = flagship_vit_config("reference")
+        pre = lambda x: preprocess_batch_vit(x, FLAGSHIP_STATS)
     params = init_amc_params(jax.random.PRNGKey(0), cfg_tpu)
-    pre = lambda x: preprocess_batch_vit(x, FLAGSHIP_STATS)
-    x = jnp.asarray(np.random.default_rng(0).standard_normal((64, 1024, 2)), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, 1024, 2)), jnp.float32)
 
     fused = jax.jit(lambda p, x: make_forward(cfg_tpu)(p, pre(x), train=False))
     ref = jax.jit(lambda p, x: make_forward(cfg_ref)(p, pre(x), train=False))
@@ -32,7 +49,7 @@ def main() -> int:
     b = np.asarray(ref(params, x))
     agree = float(np.mean(a.argmax(-1) == b.argmax(-1)))
     max_abs = float(np.abs(a - b).max())
-    print(f"fused-vs-reference: argmax agreement {agree:.3f}, "
+    print(f"[{which}] fused-vs-reference: argmax agreement {agree:.3f}, "
           f"max |dlogit| {max_abs:.4f}", flush=True)
     assert agree >= 0.95, "fused bf16 path diverges from reference"
     print("OK", flush=True)

@@ -155,3 +155,43 @@ def test_v3_attn_int8_close_to_reference(Lx):
     err = np.abs(got - want).max()
     assert err < 0.15, f"int8 attention core error too large: {err}"
     np.testing.assert_allclose(got, want, atol=0.15)
+
+
+class TestSoftmaxBoundGuard:
+    """Calibration guard for the max-free fused softmax (r1 VERDICT weak #3)."""
+
+    def _cfg(self):
+        from vitiq.config import ModelConfig
+        return ModelConfig(arm="rawiq", num_classes=3, d_model=32, n_head=4,
+                           n_layers=1, ffn_hidden=64, seq_length=64,
+                           segment_size=16)
+
+    def test_normal_weights_pass(self):
+        import jax
+        from vitiq.models import init_amc_params
+        from vitiq.ops.guards import check_softmax_bound
+
+        cfg = self._cfg()
+        params = init_amc_params(jax.random.PRNGKey(0), cfg)
+        peak = check_softmax_bound(params, cfg)
+        assert peak < 80
+
+    def test_pathological_weights_warn_and_raise(self):
+        import warnings
+        import jax
+        import jax.numpy as jnp
+        from vitiq.models import init_amc_params
+        from vitiq.ops.guards import check_softmax_bound
+
+        cfg = self._cfg()
+        params = init_amc_params(jax.random.PRNGKey(0), cfg)
+        ap = params["encoder"]["layers"][0]["attention"]
+        ap["w_q"]["kernel"] = ap["w_q"]["kernel"] * 300.0
+        ap["w_k"]["kernel"] = ap["w_k"]["kernel"] * 300.0
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            peak = check_softmax_bound(params, cfg)
+        assert peak > 80
+        assert any("safety bound" in str(x.message) for x in w)
+        with pytest.raises(ValueError):
+            check_softmax_bound(params, cfg, strict=True)

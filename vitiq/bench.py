@@ -43,6 +43,14 @@ def flagship_rawiq_config(numerics: str = "tpu") -> ModelConfig:
                        segment_size=16, numerics=numerics)
 
 
+def flagship_conv1d_config(numerics: str = "tpu") -> ModelConfig:
+    """rawIQ conv1d tokenization — 1025 tokens incl. CLS, the reference's
+    long-sequence mode (ref: transformer_rawIQ/models/encoder.py:34-41)."""
+    return ModelConfig(arm="rawiq", num_classes=19, d_model=128, n_head=8,
+                       n_layers=6, ffn_hidden=1024, drop_prob=0.2,
+                       embedding_type="conv1d", numerics=numerics)
+
+
 def _default_batch() -> int:
     return 8192 if jax.default_backend() != "cpu" else 256
 
@@ -90,7 +98,12 @@ def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
     round-1 attribution identified as the serving wall. Accuracy of the
     variants is revalidated by scripts/head_variant_validation.py."""
     batch_size = batch_size or _default_batch()
-    cfg = flagship_vit_config(numerics) if arm == "vit" else flagship_rawiq_config(numerics)
+    cfg = {"vit": flagship_vit_config, "rawiq": flagship_rawiq_config,
+           "rawiq_conv1d": flagship_conv1d_config}[arm](numerics)
+    if arm == "rawiq_conv1d":
+        # 1025-token attention is ~60x the 129-token FLOPs; keep the default
+        # batch within HBM
+        batch_size = min(batch_size, 2048)
     if n_head is not None:
         from dataclasses import replace
 
@@ -363,6 +376,8 @@ def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = N
         return bench_fused_infer("vit", batch_size, steps)
     if which == "rawiq_infer":
         return bench_fused_infer("rawiq", batch_size, steps)
+    if which == "conv1d_infer":
+        return bench_fused_infer("rawiq_conv1d", batch_size, steps)
     if which == "int8_infer":
         return bench_int8_infer("vit", batch_size, steps)
     if which == "train_step":
