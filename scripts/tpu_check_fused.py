@@ -49,9 +49,21 @@ def main() -> int:
     b = np.asarray(ref(params, x))
     agree = float(np.mean(a.argmax(-1) == b.argmax(-1)))
     max_abs = float(np.abs(a - b).max())
-    print(f"[{which}] fused-vs-reference: argmax agreement {agree:.3f}, "
+    # random-init logits can be near-tied (especially at 1025 tokens, where
+    # mean-pooled features shrink the gaps), so argmax flips on samples whose
+    # top-2 margin is below the bf16 noise floor say nothing about parity;
+    # score agreement only where the reference's own margin clears the
+    # measured noise
+    top2 = np.sort(b, axis=-1)
+    margin = top2[:, -1] - top2[:, -2]
+    confident = margin > 4 * max_abs
+    agree_conf = float(np.mean(a.argmax(-1)[confident] == b.argmax(-1)[confident])) \
+        if confident.any() else 1.0
+    print(f"[{which}] fused-vs-reference: argmax agreement {agree:.3f} "
+          f"(confident-margin: {agree_conf:.3f} over {int(confident.sum())}), "
           f"max |dlogit| {max_abs:.4f}", flush=True)
-    assert agree >= 0.95, "fused bf16 path diverges from reference"
+    assert max_abs < 0.05, "fused bf16 logits diverge from reference"
+    assert agree_conf >= 0.99, "fused bf16 path diverges on confident samples"
     print("OK", flush=True)
     return 0
 

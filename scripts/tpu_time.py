@@ -65,16 +65,15 @@ def main() -> int:
         def fn(p, xi):
             t = jnp.tile(xi[:, :129, 0:1], (1, 1, 128)).astype(jnp.bfloat16)
             return fused_encoder_layer_v3_stack(t, layer_list, 8, attn_int8=True)
-    elif variant in ("layers3", "layers3bf16"):
+    elif variant == "layers3":
         from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v3_stack
 
         params = init_amc_params(jax.random.PRNGKey(0), cfg)
         layer_list = params["encoder"]["layers"]
-        sb = variant.endswith("bf16")
 
         def fn(p, xi):
             t = jnp.tile(xi[:, :129, 0:1], (1, 1, 128)).astype(jnp.bfloat16)
-            return fused_encoder_layer_v3_stack(t, layer_list, 8, scores_bf16=sb)
+            return fused_encoder_layer_v3_stack(t, layer_list, 8)
     elif variant == "layers":
         # 6 fused layers on a pre-embedded token stream: isolates the encoder
         # from the patchify/PE/head glue

@@ -91,13 +91,12 @@ def test_v2_bias_exactness():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
-@pytest.mark.parametrize("Lx,n_head,scores_bf16", [
-    (17, 4, False),   # single key tile, width < 128
-    (129, 8, False),  # flagship: full 128 tile + 16-wide masked remainder
-    (129, 8, True),   # bf16 score storage variant
-    (200, 8, False),  # two tiles, second partially masked
+@pytest.mark.parametrize("Lx,n_head", [
+    (17, 4),   # single key tile, width < 128
+    (129, 8),  # flagship: full 128 tile + 16-wide masked remainder
+    (200, 8),  # two tiles, second partially masked
 ])
-def test_v3_stack_matches_reference_layers(Lx, n_head, scores_bf16):
+def test_v3_stack_matches_reference_layers(Lx, n_head):
     """The v3 (score-tile-streamed) stack == unfused reference layers.
     Covers the Lk-128 tiling, the masked remainder tile, the MXU ones-column
     denominator, and the scale-folded-into-W_q trick."""
@@ -111,9 +110,8 @@ def test_v3_stack_matches_reference_layers(Lx, n_head, scores_bf16):
     ref = np.asarray(L.encoder_layer_apply(p2, ref, n_head, 0.0, None, False,
                                            policy=REFERENCE))
     with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(fused_encoder_layer_v3_stack(
-            x, [p1, p2], n_head, scores_bf16=scores_bf16))
-    np.testing.assert_allclose(got, ref, atol=1e-2 if scores_bf16 else 1e-4)
+        got = np.asarray(fused_encoder_layer_v3_stack(x, [p1, p2], n_head))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
 def test_v3_denominator_column_exact():

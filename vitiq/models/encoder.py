@@ -116,7 +116,6 @@ def encoder_apply(
             )
         return fused_encoder_layer_v3_stack(
             policy.cast_compute(x), params["layers"], cfg.n_head,
-            scores_bf16=os.environ.get("VITIQ_SCORES_BF16") == "1",
             attn_int8=os.environ.get("VITIQ_ATTN_INT8") == "1",
         )
 

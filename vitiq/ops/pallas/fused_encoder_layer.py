@@ -293,7 +293,7 @@ def _fused_layer_kernel_v3(
     x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     g1_ref, be1_ref, w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
     o_ref, attn_scratch,
-    *, seq_len: int, n_head: int, scores_bf16: bool,
+    *, seq_len: int, n_head: int,
 ):
     """Score-tile-streamed attention variant.
 
@@ -306,8 +306,11 @@ def _fused_layer_kernel_v3(
       lanes (two tiles), so every VMEM pass over an untiled score tensor
       costs 1.78x its logical bytes; a 128-wide tile has zero lane padding.
     * bf16 PROBS: the exp pass writes probabilities in bf16 (they feed a bf16
-      MXU matmul anyway), halving the probs write + read bytes. Optionally
-      (scores_bf16) the score matmul itself emits bf16.
+      MXU matmul anyway), halving the probs write + read bytes. (Emitting the
+      score matmul itself in bf16 is NOT possible: Mosaic requires a 32-bit
+      matmul accumulator — "Expected matmul acc to be 32-bit" — and a
+      separate cast pass would save nothing over the exp pass's own
+      f32-read/bf16-write.)
     * MXU DENOMINATOR: V is augmented with a ones column, so the softmax
       denominator rides along in the probs @ [v|1] matmul (N=16 -> 32 fills
       the same 128-wide MXU column tile; marginal cost ~0) and the separate
@@ -350,7 +353,6 @@ def _fused_layer_kernel_v3(
         v_mask = None
     ones_block = ones_block.astype(x.dtype)
 
-    score_t = jnp.bfloat16 if scores_bf16 else jnp.float32
     for h in range(n_head):
         q = qkv[:, :, h * dh:(h + 1) * dh]
         k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
@@ -364,7 +366,7 @@ def _fused_layer_kernel_v3(
             scores = jax.lax.dot_general(
                 q, k[:, c0:c0 + t, :],
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=score_t,
+                preferred_element_type=jnp.float32,
             )  # [G, Lp, t] — pre-scaled by scale*log2e via the folded W_q
             probs = jnp.exp2(scores.astype(jnp.float32)).astype(x.dtype)
             part = jax.lax.dot_general(
@@ -528,7 +530,6 @@ def fused_encoder_layer_v3_stack(
     n_head: int,
     seq_len: Optional[int] = None,
     layers_per_call: Optional[int] = None,
-    scores_bf16: bool = False,
     g_override: Optional[int] = None,
     attn_int8: bool = False,
 ) -> jnp.ndarray:
@@ -613,7 +614,7 @@ def fused_encoder_layer_v3_stack(
                     _fused_layer_kernel_v3(
                         src, *weight_refs[c * N_OPS:(c + 1) * N_OPS],
                         o_ref, attn_scratch,
-                        seq_len=seq_len, n_head=n_head, scores_bf16=scores_bf16,
+                        seq_len=seq_len, n_head=n_head,
                     )
 
         xp = pl.pallas_call(
