@@ -69,7 +69,13 @@ def main() -> int:
         if variant == "fwdtrain":
             run = jax.jit(loss_fn)
         else:
-            run = jax.jit(lambda p, xi: jax.value_and_grad(loss_fn)(p, xi)[0])
+            # consume the grads (sum of leaf sums) or XLA dead-code-eliminates
+            # the entire backward
+            def run_(p, xi):
+                v, g = jax.value_and_grad(loss_fn)(p, xi)
+                return v + sum(jnp.sum(le) for le in jax.tree_util.tree_leaves(g))
+
+            run = jax.jit(run_)
         float(run(params, x))
         ts = []
         for _ in range(steps):

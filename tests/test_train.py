@@ -254,3 +254,31 @@ class TestDataParallel:
             x_sharded = shard_batch(x, mesh)
             got = np.asarray(jax.jit(fwd)(p_sharded, x_sharded))
         np.testing.assert_allclose(ref, got, atol=2e-5)
+
+
+def test_rbg_dropout_key_path():
+    """The TPU-fast RBG dropout key (vitiq/train/loop.py:_as_rbg_key) must
+    drive the forward identically in structure: same shapes, deterministic
+    per (seed, step), different masks for different steps."""
+    import jax
+    import jax.numpy as jnp
+    from vitiq.config import ModelConfig
+    from vitiq.models import init_amc_params, make_forward
+    from vitiq.train.loop import _as_rbg_key
+
+    cfg = ModelConfig(arm="rawiq", num_classes=3, d_model=32, n_head=4,
+                      n_layers=1, ffn_hidden=64, seq_length=64,
+                      segment_size=16, drop_prob=0.3)
+    params = init_amc_params(jax.random.PRNGKey(0), cfg)
+    fwd = make_forward(cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 2, 64)),
+                    jnp.float32)
+    k1 = _as_rbg_key(jax.random.fold_in(jax.random.PRNGKey(1), 0))
+    k1b = _as_rbg_key(jax.random.fold_in(jax.random.PRNGKey(1), 0))
+    k2 = _as_rbg_key(jax.random.fold_in(jax.random.PRNGKey(1), 1))
+    a = fwd(params, x, train=True, rng=k1)
+    b = fwd(params, x, train=True, rng=k1b)
+    c = fwd(params, x, train=True, rng=k2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+    assert np.isfinite(np.asarray(a)).all()

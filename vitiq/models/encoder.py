@@ -88,6 +88,32 @@ def encoder_apply(
         x = dropout(x, cfg.drop_prob, None, train)
         layer_rngs = [None] * cfg.n_layers
 
+    # TRAINING fused path: Pallas forward + Pallas backward per layer with
+    # in-kernel dropout (vitiq/ops/pallas/fused_layer_train.py). The mask
+    # stream is the TPU PRNG seeded from this step's key — deterministic per
+    # (seed, step) like the XLA path, but a different stream (mask parity
+    # across implementations is not a semantic requirement).
+    if (
+        train
+        and rng is not None
+        and mask is None
+        and policy.compute_dtype == jnp.bfloat16
+        and getattr(attention_fn, "packed_layout", False)
+        and jax.default_backend() == "tpu"
+        and os.environ.get("VITIQ_FUSED_TRAIN") == "1"  # opt-in until the
+        # on-chip gradient check (scripts/tpu_check_train.py) is green
+    ):
+        from vitiq.ops.pallas.fused_layer_train import fused_train_layer_stack
+
+        data = rng
+        if jnp.issubdtype(data.dtype, jax.dtypes.prng_key):
+            data = jax.random.key_data(data)
+        seed = jax.lax.bitcast_convert_type(data[0], jnp.int32)
+        return fused_train_layer_stack(
+            policy.cast_compute(x), params["layers"], cfg.n_head,
+            cfg.drop_prob, seed,
+        )
+
     # Inference under the bf16 TPU policy runs each layer as ONE fused Pallas
     # kernel (attention + post-norms + FFN resident in VMEM) — this model is
     # HBM-bandwidth-bound, and the fused layer cuts per-layer activation

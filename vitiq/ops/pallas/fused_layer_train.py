@@ -1,0 +1,538 @@
+"""Fused encoder layer for TRAINING: Pallas forward + Pallas backward.
+
+Round-1/2 measurements (docs/BENCHMARKS.md): the unfused XLA train path costs
+425 ms @ batch 2048 on the flagship, of which ~331 ms is backward — the
+backward re-materializes every activation through HBM and recomputes
+attention unfused. This module gives the training step the same treatment the
+serving path got:
+
+* FORWARD: one Pallas kernel per layer — the v3 serving kernel's structure
+  (score-tile streaming, MXU ones-column denominator, masking via zeroed
+  K/V rows) plus the reference's three dropout sites (after attention,
+  inside the FFN, after the FFN — ref: ViT/models/blocks/encoder_layer.py:
+  18-35, position_wise_feed_forward.py:12-17) generated IN-KERNEL with the
+  TPU PRNG (pltpu.prng_seed / prng_random_bits).
+* BACKWARD: one Pallas kernel per layer that RECOMPUTES the whole forward
+  (flash-style — no [B,H,L,L] tensor and no dropout mask ever touches HBM;
+  the masks are regenerated bit-identically by reseeding the same PRNG
+  stream) and produces dx plus all 12 weight gradients, accumulated in f32
+  across the sequential grid.
+
+Gradient notes:
+  - softmax runs in base 2 (exp2); d scores picks up the ln2 factor, which
+    combined with the folded log2(e) collapses back to the plain 1/sqrt(dh)
+    scale.
+  - the softmax-backward row term uses the flash identity
+    sum_j dp_ij p_ij = dout_i . out_i, so only [*, dh]-sized tensors are
+    reduced.
+  - padded key/query handling: K and V rows >= seq_len are zeroed in both
+    passes, so phantom probability columns contribute nothing to any
+    surviving gradient; dqkv rows >= seq_len are masked before the weight
+    reductions.
+
+Dropout mask stream: TPU-PRNG (per (seed, layer, grid block)), deterministic
+given the step seed but intentionally NOT the XLA path's threefry stream —
+mask parity across implementations is not a requirement (the reference's
+torch masks differ too).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN_EPS = 1e-12
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _ln_fwd(z, gamma, beta, out_dtype):
+    z32 = z.astype(jnp.float32)
+    mu = jnp.mean(z32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(z32 - mu), axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + LN_EPS)
+    xh = (z32 - mu) * r
+    return (gamma * xh + beta).astype(out_dtype), xh, r
+
+
+def _ln_bwd(dy, xh, r, gamma):
+    """dz for y = gamma*xh + beta with xh = (z - mu)*rsqrt(var+eps)."""
+    dyg = dy.astype(jnp.float32) * gamma
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * xh, axis=-1, keepdims=True)
+    return r * (dyg - m1 - xh * m2)
+
+
+def _dropout_mask(shape, rate: float):
+    """keep/(1-rate) multiplier from the in-kernel PRNG stream (consumes one
+    prng_random_bits call — fwd and bwd must make these calls in the same
+    order)."""
+    bits = pltpu.prng_random_bits(shape)  # int32
+    # uniform in [0, 2^31): drop iff bits < rate * 2^31 (sign bit cleared)
+    u = jax.lax.bitwise_and(bits, np.int32(0x7FFFFFFF))
+    thresh = np.int32(int(rate * 2147483648.0))
+    keep = (u >= thresh).astype(jnp.float32)
+    return keep * (1.0 / (1.0 - rate))
+
+
+def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
+    """Shared fwd attention (v3 structure) on a [G, Lp, 3D] qkv block.
+
+    Returns attn [G, Lp, D] (normalized, heads packed); with want_residuals,
+    also per-head (out, denom) lists for the backward.
+    """
+    g, lp, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_head
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=2)
+    if seq_len < lp:
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=1)
+        ones_block = jnp.where((lane == 0) & (row < seq_len), 1.0, 0.0)
+        kv_mask = row < seq_len
+    else:
+        ones_block = jnp.where(lane == 0, 1.0, 0.0)
+        kv_mask = None
+    ones_block = ones_block.astype(x_dtype)
+
+    outs = []
+    heads = []
+    for h in range(n_head):
+        q = qkv[:, :, h * dh:(h + 1) * dh]
+        k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
+        v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        if kv_mask is not None:
+            k = jnp.where(kv_mask, k, 0)
+            v = jnp.where(kv_mask, v, 0)
+        qs = (q.astype(jnp.float32) * scale2).astype(x_dtype)
+        vaug = jnp.concatenate([v, ones_block], axis=-1)
+        acc = None
+        for c0 in range(0, lp, 128):
+            t = min(128, lp - c0)
+            scores = jax.lax.dot_general(
+                qs, k[:, c0:c0 + t, :],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            probs = jnp.exp2(scores).astype(x_dtype)
+            part = jax.lax.dot_general(
+                probs, vaug[:, c0:c0 + t, :],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        denom = acc[:, :, dh:dh + 1]
+        out = acc[:, :, :dh] / denom
+        outs.append(out.astype(x_dtype))
+        if want_residuals:
+            heads.append((qs, k, v, denom, out))
+    attn = jnp.concatenate(outs, axis=-1)
+    return (attn, heads) if want_residuals else (attn, None)
+
+
+def _fwd_kernel(
+    seed_ref, x_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref, g1_ref, be1_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
+    y_ref,
+    *, seq_len: int, n_head: int, drop: float, layer_idx: int,
+):
+    g, lp, d = x_ref.shape
+    scale2 = _LOG2E / ((d // n_head) ** 0.5)
+    x = x_ref[:]
+
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:]
+    qkv = qkv.astype(x.dtype)
+
+    attn, _ = _attention_fwd(qkv, n_head, seq_len, scale2, x.dtype)
+
+    a = jax.lax.dot_general(
+        attn, wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[:]
+
+    if drop > 0.0:
+        pltpu.prng_seed(seed_ref[0], layer_idx, pl.program_id(0))
+        a = a * _dropout_mask(a.shape, drop)
+    z1 = a + x.astype(jnp.float32)
+    x1, _, _ = _ln_fwd(z1, g1_ref[:], be1_ref[:], x.dtype)
+
+    pre = jax.lax.dot_general(
+        x1, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:]
+    h = jnp.maximum(pre, 0.0)
+    if drop > 0.0:
+        h = h * _dropout_mask(h.shape, drop)
+    h = h.astype(x.dtype)
+    f = jax.lax.dot_general(
+        h, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:]
+    if drop > 0.0:
+        f = f * _dropout_mask(f.shape, drop)
+    z2 = f + x1.astype(jnp.float32)
+    y, _, _ = _ln_fwd(z2, g2_ref[:], be2_ref[:], y_ref.dtype)
+    y_ref[:] = y
+
+
+def _bwd_kernel(
+    seed_ref, x_ref, dy_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref, g1_ref, be1_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
+    dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg1_ref, dbe1_ref,
+    dw1_ref, db1_ref, dw2_ref, db2_ref, dg2_ref, dbe2_ref,
+    *, seq_len: int, n_head: int, drop: float, layer_idx: int,
+):
+    g, lp, d = x_ref.shape
+    dh = d // n_head
+    hwidth = w1_ref.shape[1]
+    scale2 = _LOG2E / (dh ** 0.5)
+    x = x_ref[:]
+    dy = dy_ref[:].astype(jnp.float32)
+
+    # ---------------- recompute forward (same PRNG call order) -------------
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:]
+    qkv = qkv.astype(x.dtype)
+
+    attn, heads = _attention_fwd(qkv, n_head, seq_len, scale2, x.dtype,
+                                 want_residuals=True)
+
+    a = jax.lax.dot_general(
+        attn, wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[:]
+    if drop > 0.0:
+        pltpu.prng_seed(seed_ref[0], layer_idx, pl.program_id(0))
+        m1 = _dropout_mask(a.shape, drop)
+        a = a * m1
+    z1 = a + x.astype(jnp.float32)
+    x1, xh1, r1 = _ln_fwd(z1, g1_ref[:], be1_ref[:], x.dtype)
+
+    pre = jax.lax.dot_general(
+        x1, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:]
+    h = jnp.maximum(pre, 0.0)
+    if drop > 0.0:
+        m2 = _dropout_mask(h.shape, drop)
+        h = h * m2
+    h = h.astype(x.dtype)
+    f = jax.lax.dot_general(
+        h, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:]
+    if drop > 0.0:
+        m3 = _dropout_mask(f.shape, drop)
+        f = f * m3
+    z2 = f + x1.astype(jnp.float32)
+    _, xh2, r2 = _ln_fwd(z2, g2_ref[:], be2_ref[:], x.dtype)
+
+    first = pl.program_id(0) == 0
+
+    def emit(ref, val):
+        @pl.when(first)
+        def _():
+            ref[:] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            ref[:] = ref[:] + val
+
+    # ---------------- backward --------------------------------------------
+    # LN2
+    emit(dg2_ref, jnp.sum(dy * xh2, axis=(0, 1), keepdims=False)[None, :])
+    emit(dbe2_ref, jnp.sum(dy, axis=(0, 1))[None, :])
+    dz2 = _ln_bwd(dy, xh2, r2, g2_ref[:])
+
+    df = dz2 * m3 if drop > 0.0 else dz2
+    dx1 = dz2  # residual branch
+
+    # FFN linear2
+    dfb = df.astype(x.dtype)
+    emit(dw2_ref, jnp.sum(jax.lax.dot_general(
+        h, dfb, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32), axis=0))
+    emit(db2_ref, jnp.sum(df, axis=(0, 1))[None, :])
+    dhd = jax.lax.dot_general(
+        dfb, w2_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh_ = dhd * m2 if drop > 0.0 else dhd
+    dpre = jnp.where(pre > 0.0, dh_, 0.0)
+
+    dpreb = dpre.astype(x.dtype)
+    emit(dw1_ref, jnp.sum(jax.lax.dot_general(
+        x1, dpreb, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32), axis=0))
+    emit(db1_ref, jnp.sum(dpre, axis=(0, 1))[None, :])
+    dx1 = dx1 + jax.lax.dot_general(
+        dpreb, w1_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # LN1
+    emit(dg1_ref, jnp.sum(dx1 * xh1, axis=(0, 1))[None, :])
+    emit(dbe1_ref, jnp.sum(dx1, axis=(0, 1))[None, :])
+    dz1 = _ln_bwd(dx1, xh1, r1, g1_ref[:])
+
+    da = dz1 * m1 if drop > 0.0 else dz1
+    dx = dz1  # residual branch
+
+    # output projection
+    dab = da.astype(x.dtype)
+    emit(dwo_ref, jnp.sum(jax.lax.dot_general(
+        attn, dab, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32), axis=0))
+    emit(dbo_ref, jnp.sum(da, axis=(0, 1))[None, :])
+    dattn = jax.lax.dot_general(
+        dab, wo_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+    # attention backward, per head, tiled over keys
+    dq_heads, dk_heads, dv_heads = [], [], []
+    for hd_i in range(n_head):
+        qs, k, v, denom, out = heads[hd_i]
+        dout = dattn[:, :, hd_i * dh:(hd_i + 1) * dh].astype(jnp.float32)
+        # flash identity: sum_j dp_ij p_ij = dout_i . out_i
+        drow = jnp.sum(dout * out, axis=-1, keepdims=True)
+        dq_acc = None
+        dk_cols = []
+        dv_cols = []
+        for c0 in range(0, lp, 128):
+            t = min(128, lp - c0)
+            scores = jax.lax.dot_general(
+                qs, k[:, c0:c0 + t, :],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            pbar = (jnp.exp2(scores) / denom).astype(x.dtype)  # [G, Lq, t]
+            # dV[kt] = pbar^T dout ; ddenom folds via the drow term
+            dv_cols.append(jax.lax.dot_general(
+                pbar, dout.astype(x.dtype),
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ))  # [G, t, dh]
+            dp = jax.lax.dot_general(
+                dout.astype(x.dtype), v[:, c0:c0 + t, :],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [G, Lq, t]
+            ds = (pbar.astype(jnp.float32) * (dp - drow)).astype(x.dtype)
+            dq_part = jax.lax.dot_general(
+                ds, k[:, c0:c0 + t, :],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [G, Lq, dh]
+            dq_acc = dq_part if dq_acc is None else dq_acc + dq_part
+            dk_cols.append(jax.lax.dot_general(
+                ds, qs, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ))  # [G, t, dh]
+        # ds was d(base-2 exponent); dq/dk w.r.t. unscaled q,k carry
+        # ln2 * scale2 = 1/sqrt(dh); qs already includes scale2, so dk needs
+        # ln2 only (ds @ qs = ln2^-1 ... ): dq = ln2*scale2 * (ds k) on raw k;
+        # dk = ln2 * (ds^T qs) = ln2 * scale2 * (ds^T q_raw) — both reduce to
+        # plain_scale against the raw q/k.
+        dq_heads.append(dq_acc * (_LN2 * scale2))
+        dk_heads.append(jnp.concatenate(dk_cols, axis=1) * _LN2)  # qs carries scale2
+        dv_heads.append(jnp.concatenate(dv_cols, axis=1))
+
+    dqkv = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=-1)
+    if seq_len < lp:
+        rowq = jax.lax.broadcasted_iota(jnp.int32, (g, lp, 3 * d), dimension=1)
+        dqkv = jnp.where(rowq < seq_len, dqkv, 0.0)
+
+    dqkvb = dqkv.astype(x.dtype)
+    emit(dwqkv_ref, jnp.sum(jax.lax.dot_general(
+        x, dqkvb, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32), axis=0))
+    emit(dbqkv_ref, jnp.sum(dqkv, axis=(0, 1))[None, :])
+    dx = dx + jax.lax.dot_general(
+        dqkvb, wqkv_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# host wrappers
+# --------------------------------------------------------------------------
+
+_WNAMES = ("wqkv", "bqkv", "wo", "bo", "g1", "be1",
+           "w1", "b1", "w2", "b2", "g2", "be2")
+
+
+def _pick_g(Lp: int, D: int, H: int, itemsize: int) -> int:
+    """One block size for BOTH passes: dropout masks are generated per grid
+    block (seeded on program_id), so fwd and bwd must partition the batch
+    identically. Sized for the backward (recompute + grad temporaries)."""
+    t = min(128, Lp)
+    mult = 3  # bwd holds recompute + grads
+    for g in (16, 8, 4, 2, 1):
+        x_like = g * Lp * D
+        vmem = mult * (
+            4 * x_like * itemsize
+            + 3 * x_like * itemsize
+            + g * Lp * t * (4 + itemsize)
+            + 2 * g * Lp * H * itemsize
+            + 3 * x_like * 4
+        )
+        if vmem <= 10 * 1024 * 1024:
+            return g
+    return 1
+
+
+def _flat_weights(layer_params, dtype):
+    ap = layer_params["attention"]
+    wqkv = jnp.concatenate([ap["w_q"]["kernel"], ap["w_k"]["kernel"],
+                            ap["w_v"]["kernel"]], axis=1).astype(dtype)
+    bqkv = jnp.concatenate([ap["w_q"]["bias"], ap["w_k"]["bias"],
+                            ap["w_v"]["bias"]]).astype(jnp.float32)
+    ffn = layer_params["ffn"]
+    return (
+        wqkv, bqkv,
+        ap["w_concat"]["kernel"].astype(dtype),
+        ap["w_concat"]["bias"].astype(jnp.float32),
+        layer_params["norm1"]["gamma"].astype(jnp.float32),
+        layer_params["norm1"]["beta"].astype(jnp.float32),
+        ffn["linear1"]["kernel"].astype(dtype),
+        ffn["linear1"]["bias"].astype(jnp.float32),
+        ffn["linear2"]["kernel"].astype(dtype),
+        ffn["linear2"]["bias"].astype(jnp.float32),
+        layer_params["norm2"]["gamma"].astype(jnp.float32),
+        layer_params["norm2"]["beta"].astype(jnp.float32),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_train_layer(n_head, drop, layer_idx, seq_len, seed, x, *weights):
+    y, _ = _fused_train_layer_fwd(n_head, drop, layer_idx, seq_len, seed,
+                                  x, *weights)
+    return y
+
+
+def _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights):
+    B, L, D = x.shape
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    Lp = _round_up(L, sublane)
+    H = weights[6].shape[1]
+    G = _pick_g(Lp, D, H, x.dtype.itemsize)
+    Bp = _round_up(B, G)
+    xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
+
+    data_block = pl.BlockSpec((G, Lp, D), lambda i, s: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    def rep(shape):
+        return pl.BlockSpec(shape, lambda i, s: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_fwd_kernel, seq_len=seq_len, n_head=n_head,
+                               drop=drop, layer_idx=layer_idx)
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bp // G,),
+            in_specs=[data_block] + [rep(w.shape) for w in weights],
+            out_specs=data_block,
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
+    )(jnp.asarray([seed], jnp.int32), xp, *weights)
+    return y[:B, :L, :]
+
+
+def _fused_train_layer_fwd(n_head, drop, layer_idx, seq_len, seed, x, *weights):
+    y = _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights)
+    return y, (seed, x, weights)
+
+
+def _fused_train_layer_bwd(n_head, drop, layer_idx, seq_len, res, dy):
+    seed, x, weights = res
+    B, L, D = x.shape
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    Lp = _round_up(L, sublane)
+    H = weights[6].shape[1]
+    G = _pick_g(Lp, D, H, x.dtype.itemsize)
+    Bp = _round_up(B, G)
+    xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
+    dyp = jnp.pad(dy.astype(x.dtype), ((0, Bp - B), (0, Lp - L), (0, 0)))
+
+    data_block = pl.BlockSpec((G, Lp, D), lambda i, s: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    def rep(shape):
+        return pl.BlockSpec(shape, lambda i, s: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    # gradient outputs: dx (blocked) + one f32 ref per weight, accumulated
+    # across the sequential grid (constant index map)
+    def w2d(w):
+        return w.shape if w.ndim == 2 else (1, w.shape[0])
+
+    out_shapes = [jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype)] + [
+        jax.ShapeDtypeStruct(w2d(w), jnp.float32) for w in weights]
+    out_specs = [data_block] + [rep(w2d(w)) for w in weights]
+
+    kernel = functools.partial(_bwd_kernel, seq_len=seq_len, n_head=n_head,
+                               drop=drop, layer_idx=layer_idx)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bp // G,),
+            in_specs=[data_block, data_block] + [rep(w.shape) for w in weights],
+            out_specs=out_specs,
+        ),
+        out_shape=out_shapes,
+    )(jnp.asarray([seed], jnp.int32), xp, dyp, *weights)
+
+    dx = outs[0][:B, :L, :]
+    dws = []
+    for w, dw in zip(weights, outs[1:]):
+        dw = dw if w.ndim == 2 else dw[0]
+        dws.append(dw.astype(w.dtype))
+    # integer seed's cotangent is float0
+    dseed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return (dseed, dx, *dws)
+
+
+_fused_train_layer.defvjp(_fused_train_layer_fwd, _fused_train_layer_bwd)
+
+
+def fused_train_layer_stack(
+    x: jnp.ndarray,
+    layer_params_list,
+    n_head: int,
+    drop_prob: float,
+    seed,
+    seq_len: Optional[int] = None,
+) -> jnp.ndarray:
+    """Differentiable fused-layer stack for training.
+
+    x: [B, L, D] (bf16 under the TPU policy); `seed` an int32 scalar (fold the
+    train-step counter in before calling). Gradients flow to x and to every
+    layer parameter via the Pallas backward kernels.
+    """
+    B, L, D = x.shape
+    seq_len = L if seq_len is None else seq_len
+    seed = jnp.asarray(seed, jnp.int32)
+    for i, lp_ in enumerate(layer_params_list):
+        flat = _flat_weights(lp_, x.dtype)
+        x = _fused_train_layer(n_head, float(drop_prob), i, seq_len, seed,
+                               x, *flat)
+    return x

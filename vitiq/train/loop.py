@@ -38,6 +38,16 @@ from vitiq.train.schedule import EarlyStopping, ReduceLROnPlateau
 # jitted steps
 # --------------------------------------------------------------------------
 
+def _as_rbg_key(key):
+    """Rewrap a (possibly legacy uint32[2]) threefry key as an XLA-native RBG
+    key — TPU-fast random bits for dropout masks."""
+    data = key
+    if jnp.issubdtype(data.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(data)
+    data = data.astype(jnp.uint32)
+    return jax.random.wrap_key_data(jnp.concatenate([data, data]), impl="rbg")
+
+
 def make_train_step(
     forward_fn: Callable,
     tx,
@@ -53,8 +63,16 @@ def make_train_step(
     def step(state: TrainState, x, y, rng):
         inputs = preprocess_fn(x) if preprocess_fn is not None else x
         # fold the step counter into the dropout key: one key per step,
-        # deterministic given (seed, step)
+        # deterministic given (seed, step). On TPU the key is rewrapped as an
+        # RBG key: dropout masks need no cross-framework parity, and threefry
+        # mask generation measured ~77 ms of a 425 ms flagship train step on
+        # v5e (step vs step_nodrop, scripts/tpu_train_probe.py); XLA's native
+        # RngBitGenerator makes it near-free at identical semantics
+        # (deterministic per (seed, step), still Bernoulli(1-p)). CPU keeps
+        # threefry so host-side test trajectories stay pinned.
         dropout_rng = jax.random.fold_in(rng, state.step)
+        if jax.default_backend() == "tpu":
+            dropout_rng = _as_rbg_key(dropout_rng)
 
         def loss_fn(params):
             logits = forward_fn(params, inputs, train=True, rng=dropout_rng)
