@@ -26,15 +26,22 @@ def main() -> int:
     from vitiq.runner import run_training
 
     results = {}
+    # Learnable-within-CPU-budget geometry: the d_head question is about the
+    # ATTENTION width (d_model/n_head), which a 2-layer stack at the flagship
+    # width exercises; high-SNR frames keep the task solvable in ~a dozen
+    # epochs (the full 6-layer/all-SNR setup needs the reference's 60-80 GPU
+    # epochs and stays at chance here — measured).
     classes = ("BPSK", "QPSK", "8PSK", "16QAM", "64QAM")
     for n_head in (8, 4, 2):
         cfg = ExperimentConfig(
             model=ModelConfig(arm="vit", num_classes=len(classes), d_model=128,
-                              n_head=n_head, n_layers=6, ffn_hidden=512,
+                              n_head=n_head, n_layers=2, ffn_hidden=512,
                               drop_prob=0.1, patch_size=4, numerics="reference"),
             data=DataConfig(source="synthetic", synthetic_classes=classes,
-                            synthetic_frames_per_class=frames_per_class),
-            train=TrainConfig(batch_size=256, num_epochs=epochs, patience=epochs),
+                            synthetic_frames_per_class=frames_per_class,
+                            synthetic_snr_db=(8.0, 14.0, 20.0)),
+            train=TrainConfig(batch_size=128, num_epochs=epochs,
+                              patience=epochs),
             experiment_name=f"head_variant_h{n_head}",
         )
         summary = run_training(cfg, verbose=True)

@@ -61,13 +61,42 @@ def main() -> int:
 
     gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(params, x)
     gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(params, x)
-    worst = 0.0
-    for a_, b_ in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
-        a_, b_ = np.asarray(a_, np.float32), np.asarray(b_, np.float32)
-        scale = max(np.abs(b_).max(), 1e-6)
-        worst = max(worst, float(np.abs(a_ - b_).max() / scale))
-    print(f"worst relative grad err vs XLA autodiff: {worst:.4f}", flush=True)
-    assert worst < 0.08, "grads diverge"
+    # both sides are bf16 computations (each its own rounding of the true f32
+    # gradient — exactness is proven in f32 interpret mode by
+    # tests/test_fused_train_layer.py); on hardware compare DIRECTION
+    # (cosine) and relative Frobenius error per tensor
+    flat_f = jax.tree_util.tree_leaves_with_path(gf[0]) + [(("x",), gf[1])]
+    flat_r = jax.tree_util.tree_leaves(gr[0]) + [gr[1]]
+    all_a = np.concatenate([np.asarray(a_, np.float32).ravel()
+                            for _, a_ in flat_f])
+    all_b = np.concatenate([np.asarray(b_, np.float32).ravel()
+                            for b_ in flat_r])
+    gnorm = np.linalg.norm(all_b)
+    gcos = float(np.dot(all_a, all_b) /
+                 (np.linalg.norm(all_a) * gnorm + 1e-30))
+    grel = float(np.linalg.norm(all_a - all_b) / gnorm)
+    worst_cos, worst_rel = 1.0, 0.0
+    for (path, a_), b_ in zip(flat_f, flat_r):
+        a_ = np.asarray(a_, np.float32).ravel()
+        b_ = np.asarray(b_, np.float32).ravel()
+        nb = np.linalg.norm(b_)
+        # near-zero-norm tensors (e.g. w_k.bias: softmax-grad rows sum to 0,
+        # so its true gradient is a cancelling residual) are bf16 noise in
+        # BOTH implementations — judge them by the global picture instead
+        if nb < 1e-3 * gnorm:
+            continue
+        rel = float(np.linalg.norm(a_ - b_) / nb)
+        cos = float(np.dot(a_, b_) / (np.linalg.norm(a_) * nb + 1e-30))
+        if rel > 0.05 or cos < 0.999:
+            print(f"  {path}: cos {cos:.4f} rel {rel:.4f} (norm {nb:.2e})",
+                  flush=True)
+        worst_rel = max(worst_rel, rel)
+        worst_cos = min(worst_cos, cos)
+    print(f"grad vs XLA autodiff: GLOBAL cosine {gcos:.5f} rel {grel:.4f}; "
+          f"worst significant tensor: cosine {worst_cos:.5f}, "
+          f"rel-Frobenius {worst_rel:.4f}", flush=True)
+    assert gcos > 0.999 and grel < 0.05, "global gradient diverges"
+    assert worst_cos > 0.995 and worst_rel < 0.1, "a significant tensor diverges"
 
     # 3. dropout determinism + seed sensitivity (hardware prng)
     f = jax.jit(lambda p, x, s: fused_train_layer_stack(x, [p], n_head, 0.3, s))

@@ -193,3 +193,21 @@ class TestSoftmaxBoundGuard:
         assert any("safety bound" in str(x.message) for x in w)
         with pytest.raises(ValueError):
             check_softmax_bound(params, cfg, strict=True)
+
+
+@pytest.mark.parametrize("Lx,n_head", [(17, 4), (129, 8)])
+def test_v3_cls_only_matches_full_stack_token0(Lx, n_head):
+    """cls_only=True must reproduce token 0 of the full stack exactly
+    (the last layer computes only the CLS query row)."""
+    from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v3_stack
+
+    rng = np.random.default_rng(11)
+    p1 = L.encoder_layer_init(jax.random.PRNGKey(40), 128, 512)
+    p2 = L.encoder_layer_init(jax.random.PRNGKey(41), 128, 512)
+    x = jnp.asarray(rng.standard_normal((3, Lx, 128)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        full = np.asarray(fused_encoder_layer_v3_stack(x, [p1, p2], n_head))
+        cls = np.asarray(fused_encoder_layer_v3_stack(x, [p1, p2], n_head,
+                                                      cls_only=True))
+    assert cls.shape == (3, 1, 128)
+    np.testing.assert_allclose(cls[:, 0], full[:, 0], atol=2e-5)

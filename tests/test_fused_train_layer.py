@@ -113,3 +113,29 @@ def test_two_layer_stack_chains():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(fused_train_layer_stack(x, [p1, p2], 4, 0.0, 7))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_gradients_accumulate_across_grid_blocks():
+    """Weight grads accumulate in VMEM scratch across MULTIPLE sequential
+    grid steps (the single-block tests can't catch broken cross-block
+    accumulation — that bug appeared on hardware first)."""
+    n_head = 4
+    params = L.encoder_layer_init(jax.random.PRNGKey(6), 128, 256)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((40, 17, 128)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((40, 17, 128)), jnp.float32)
+
+    def loss_ref(params):
+        return jnp.mean((_xla_layer(params, x, n_head) - tgt) ** 2)
+
+    def loss_fused(params):
+        y = fused_train_layer_stack(x, [params], n_head, 0.0, 7)
+        return jnp.mean((y - tgt) ** 2)
+
+    ref_g = jax.grad(loss_ref)(params)
+    with pltpu.force_tpu_interpret_mode():
+        got_g = jax.grad(loss_fused)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(got_g),
+                    jax.tree_util.tree_leaves(ref_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)

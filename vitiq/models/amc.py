@@ -53,10 +53,14 @@ def make_forward(cfg: ModelConfig, attention_fn: Optional[Callable] = None):
         else:
             attention_fn = scaled_dot_product_attention
 
+    # CLS pooling consumes only token 0, so the fused serving path may skip
+    # every other query row of the last layer (encoder returns [B, 1, d])
+    cls_only = cfg.arm == "vit" or cfg.use_cls_token
+
     def forward(params, src, train: bool = False, rng=None):
         x = encoder_apply(
             params["encoder"], src, cfg, policy, train=train, rng=rng,
-            attention_fn=attention_fn,
+            attention_fn=attention_fn, cls_only_fused=cls_only,
         )
         if cfg.arm == "vit":
             feat = x[:, 0]

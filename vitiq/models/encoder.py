@@ -57,8 +57,14 @@ def encoder_apply(
     rng: Optional[jax.Array] = None,
     mask=None,
     attention_fn=scaled_dot_product_attention,
+    cls_only_fused: bool = False,
 ):
-    """Returns the full token sequence [B, L, d_model]."""
+    """Returns the full token sequence [B, L, d_model].
+
+    cls_only_fused: the caller consumes ONLY token 0 (CLS pooling) — the
+    fused serving path then computes just the CLS row of the final layer
+    (~1/18 of a full layer) and returns [B, 1, d_model]. Ignored off the
+    fused path."""
     expected_rank = 4 if cfg.arm == "vit" else 3
     if src.ndim != expected_rank:
         raise ValueError(
@@ -143,6 +149,8 @@ def encoder_apply(
         return fused_encoder_layer_v3_stack(
             policy.cast_compute(x), params["layers"], cfg.n_head,
             attn_int8=os.environ.get("VITIQ_ATTN_INT8") == "1",
+            cls_only=cls_only_fused
+            and os.environ.get("VITIQ_CLS_ONLY", "1") != "0",
         )
 
     for layer_params, layer_rng in zip(params["layers"], layer_rngs):

@@ -504,6 +504,85 @@ def _fused_layer_kernel_v3_attn_int8(
                            o_ref.dtype)
 
 
+def _fused_layer_kernel_v3_cls(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    g1_ref, be1_ref, w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
+    o_ref, attn_scratch,
+    *, seq_len: int, n_head: int,
+):
+    """v3 kernel computing ONLY the CLS row (query 0) of the layer output.
+
+    For CLS-pooled classification the head consumes just token 0 of the LAST
+    layer, so its attention needs a single query row: scores shrink from
+    [G, Lp, Lp] to [G, 8, Lp] (one sublane tile) and the projection/FFN/LN
+    tail runs on 8 rows — the last layer costs ~1/18 of a full one.
+    K/V still come from the full token stream. o_ref: [G, 8, D] (row 0 valid).
+    """
+    g, lp, d = x_ref.shape
+    dh = d // n_head
+    rq = o_ref.shape[1]  # 8: one sublane tile of query rows
+    x = x_ref[:]
+
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:]
+    qkv = qkv.astype(x.dtype)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=2)
+    if seq_len < lp:
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=1)
+        ones_block = jnp.where((lane == 0) & (row < seq_len), 1.0, 0.0)
+        v_mask = (row < seq_len)
+    else:
+        ones_block = jnp.where(lane == 0, 1.0, 0.0)
+        v_mask = None
+    ones_block = ones_block.astype(x.dtype)
+
+    for h in range(n_head):
+        q = qkv[:, :rq, h * dh:(h + 1) * dh]
+        k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
+        v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        if v_mask is not None:
+            v = jnp.where(v_mask, v, 0)
+        vaug = jnp.concatenate([v, ones_block], axis=-1)
+        acc = None
+        for c0 in range(0, lp, 128):
+            t = min(128, lp - c0)
+            scores = jax.lax.dot_general(
+                q, k[:, c0:c0 + t, :],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [G, rq, t]
+            probs = jnp.exp2(scores).astype(x.dtype)
+            part = jax.lax.dot_general(
+                probs, vaug[:, c0:c0 + t, :],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        attn_scratch[:, :, h * dh:(h + 1) * dh] = (
+            acc[:, :, :dh] / acc[:, :, dh:dh + 1]).astype(attn_scratch.dtype)
+
+    xr = x[:, :rq, :]
+    proj = jax.lax.dot_general(
+        attn_scratch[:], wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[:]
+    x1 = _layer_norm(proj + xr.astype(jnp.float32), g1_ref[:], be1_ref[:], x.dtype)
+    hmid = jax.lax.dot_general(
+        x1, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:]
+    hmid = jnp.maximum(hmid, 0.0).astype(x.dtype)
+    y = jax.lax.dot_general(
+        hmid, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:]
+    o_ref[:] = _layer_norm(y + x1.astype(jnp.float32), g2_ref[:], be2_ref[:],
+                           o_ref.dtype)
+
+
 def _pick_batch_block_v3(Lp: int, D: int, H: int, itemsize: int) -> int:
     t = min(128, Lp)
     for g in (32, 16, 8, 4, 2, 1):
@@ -532,6 +611,7 @@ def fused_encoder_layer_v3_stack(
     layers_per_call: Optional[int] = None,
     g_override: Optional[int] = None,
     attn_int8: bool = False,
+    cls_only: bool = False,
 ) -> jnp.ndarray:
     """Run a stack of layers through the v3 (score-tile-streamed) kernel.
 
@@ -564,6 +644,10 @@ def fused_encoder_layer_v3_stack(
         index_map = lambda i: tuple(0 for _ in shape)
         return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
+    # cls_only: the caller consumes ONLY token 0 of the final layer (CLS
+    # pooling), so the last layer runs the single-query-row kernel and the
+    # stack returns [B, 1, D]
+    full_layers = layer_params_list[:-1] if cls_only else layer_params_list
     scale = _LOG2E / ((D // n_head) ** 0.5)
 
     def layer_operands(lp_):
@@ -596,8 +680,8 @@ def fused_encoder_layer_v3_stack(
         ]
 
     N_OPS = 12
-    for start in range(0, len(layer_params_list), layers_per_call):
-        group = layer_params_list[start:start + layers_per_call]
+    for start in range(0, len(full_layers), layers_per_call):
+        group = full_layers[start:start + layers_per_call]
         flat = [op for lp_ in group for op in layer_operands(lp_)]
 
         def kernel(x_ref, *rest, n_layers=len(group)):
@@ -625,6 +709,23 @@ def fused_encoder_layer_v3_stack(
             out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
             scratch_shapes=[pltpu.VMEM((G, Lp, D), x.dtype)],
         )(xp, *flat)
+
+    if cls_only:
+        rq = 8  # one sublane tile of query rows (row 0 = CLS)
+        flat = layer_operands(layer_params_list[-1])
+        cls_kernel = functools.partial(
+            _fused_layer_kernel_v3_cls, seq_len=seq_len, n_head=n_head)
+        out_block = pl.BlockSpec((G, rq, D), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        xp = pl.pallas_call(
+            cls_kernel,
+            grid=(Bp // G,),
+            in_specs=[data_block] + [rep(o.shape) for o in flat],
+            out_specs=out_block,
+            out_shape=jax.ShapeDtypeStruct((Bp, rq, D), x.dtype),
+            scratch_shapes=[pltpu.VMEM((G, rq, D), x.dtype)],
+        )(xp, *flat)
+        return xp[:B, :1, :D]
     return xp[:B, :L, :D]
 
 

@@ -165,7 +165,11 @@ def _fwd_kernel(
     ) + bo_ref[:]
 
     if drop > 0.0:
-        pltpu.prng_seed(seed_ref[0], layer_idx, pl.program_id(0))
+        # prng_seed supports at most 2 seed words (Mosaic: 'Setting seed
+        # with more than 2 values is not supported') — fold the layer
+        # index into the first word
+        pltpu.prng_seed(seed_ref[0] + layer_idx * np.int32(0x9E3779B9 & 0x7FFFFFFF),
+                        pl.program_id(0))
         a = a * _dropout_mask(a.shape, drop)
     z1 = a + x.astype(jnp.float32)
     x1, _, _ = _ln_fwd(z1, g1_ref[:], be1_ref[:], x.dtype)
@@ -195,6 +199,10 @@ def _bwd_kernel(
     w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
     dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg1_ref, dbe1_ref,
     dw1_ref, db1_ref, dw2_ref, db2_ref, dg2_ref, dbe2_ref,
+    # persistent VMEM scratch accumulators, one per weight grad (sequential
+    # grid; output refs with constant index maps are NOT safe to
+    # read-modify-write across grid steps on hardware — double buffering)
+    swqkv, sbqkv, swo, sbo, sg1, sbe1, sw1, sb1, sw2, sb2, sg2, sbe2,
     *, seq_len: int, n_head: int, drop: float, layer_idx: int,
 ):
     g, lp, d = x_ref.shape
@@ -219,7 +227,11 @@ def _bwd_kernel(
         preferred_element_type=jnp.float32,
     ) + bo_ref[:]
     if drop > 0.0:
-        pltpu.prng_seed(seed_ref[0], layer_idx, pl.program_id(0))
+        # prng_seed supports at most 2 seed words (Mosaic: 'Setting seed
+        # with more than 2 values is not supported') — fold the layer
+        # index into the first word
+        pltpu.prng_seed(seed_ref[0] + layer_idx * np.int32(0x9E3779B9 & 0x7FFFFFFF),
+                        pl.program_id(0))
         m1 = _dropout_mask(a.shape, drop)
         a = a * m1
     z1 = a + x.astype(jnp.float32)
@@ -245,15 +257,26 @@ def _bwd_kernel(
     _, xh2, r2 = _ln_fwd(z2, g2_ref[:], be2_ref[:], x.dtype)
 
     first = pl.program_id(0) == 0
+    last = pl.program_id(0) == pl.num_programs(0) - 1
+    _scratch = {id(dwqkv_ref): swqkv, id(dbqkv_ref): sbqkv, id(dwo_ref): swo,
+                id(dbo_ref): sbo, id(dg1_ref): sg1, id(dbe1_ref): sbe1,
+                id(dw1_ref): sw1, id(db1_ref): sb1, id(dw2_ref): sw2,
+                id(db2_ref): sb2, id(dg2_ref): sg2, id(dbe2_ref): sbe2}
 
     def emit(ref, val):
+        acc = _scratch[id(ref)]
+
         @pl.when(first)
         def _():
-            ref[:] = val
+            acc[:] = val
 
         @pl.when(jnp.logical_not(first))
         def _():
-            ref[:] = ref[:] + val
+            acc[:] = acc[:] + val
+
+        @pl.when(last)
+        def _():
+            ref[:] = acc[:]
 
     # ---------------- backward --------------------------------------------
     # LN2
@@ -497,6 +520,7 @@ def _fused_train_layer_bwd(n_head, drop, layer_idx, seq_len, res, dy):
             grid=(Bp // G,),
             in_specs=[data_block, data_block] + [rep(w.shape) for w in weights],
             out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM(w2d(w), jnp.float32) for w in weights],
         ),
         out_shape=out_shapes,
     )(jnp.asarray([seed], jnp.int32), xp, dyp, *weights)
