@@ -174,7 +174,8 @@ def cmd_bench(args) -> int:
     from vitiq.bench import run_benchmarks
 
     result = run_benchmarks(which=args.which, batch_size=args.batch_size,
-                            steps=args.steps)
+                            steps=args.steps,
+                            n_head=getattr(args, "n_head", None))
     print(json.dumps(result, default=float))
     return 0
 
@@ -236,11 +237,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("bench", help="Throughput / latency benchmarks")
     p.add_argument("--which", default="fused_vit_infer",
-                   choices=["fused_vit_infer", "rawiq_infer", "int8_infer",
-                            "train_step", "dsp_frontend", "ingestion",
-                            "e2e_serving", "all"])
+                   choices=["fused_vit_infer", "rawiq_infer", "conv1d_infer",
+                            "int8_infer", "train_step", "head_variant",
+                            "dsp_frontend", "ingestion", "e2e_serving", "all"])
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--n_head", type=int, default=None,
+                   help="head_variant: override the flagship head count "
+                        "(d_head = d_model / n_head)")
     p.set_defaults(fn=cmd_bench)
 
     return parser

