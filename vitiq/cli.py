@@ -175,7 +175,8 @@ def cmd_bench(args) -> int:
 
     result = run_benchmarks(which=args.which, batch_size=args.batch_size,
                             steps=args.steps,
-                            n_head=getattr(args, "n_head", None))
+                            n_head=getattr(args, "n_head", None),
+                            data_parallel=getattr(args, "data_parallel", None))
     print(json.dumps(result, default=float))
     return 0
 
@@ -245,6 +246,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_head", type=int, default=None,
                    help="head_variant: override the flagship head count "
                         "(d_head = d_model / n_head)")
+    p.add_argument("--data_parallel", type=int, default=None,
+                   help="shard the bench batch over a data mesh of this "
+                        "many devices (serving scale-out)")
     p.set_defaults(fn=cmd_bench)
 
     return parser
