@@ -211,3 +211,27 @@ def test_v3_cls_only_matches_full_stack_token0(Lx, n_head):
                                                       cls_only=True))
     assert cls.shape == (3, 1, 128)
     np.testing.assert_allclose(cls[:, 0], full[:, 0], atol=2e-5)
+
+
+def test_v3_int8_stack_close_to_float():
+    """W8A8 v3 stack (int8 weight GEMMs, bf16 v3 attention): quantization
+    noise only, incl. the dequantized CLS-only last layer."""
+    from vitiq.ops.quant import quantize_params_int8
+    from vitiq.ops.pallas.fused_encoder_layer import (
+        fused_encoder_layer_v3_int8_stack,
+    )
+
+    rng = np.random.default_rng(13)
+    p1 = L.encoder_layer_init(jax.random.PRNGKey(50), 128, 512)
+    p2 = L.encoder_layer_init(jax.random.PRNGKey(51), 128, 512)
+    q1, q2 = quantize_params_int8(p1), quantize_params_int8(p2)
+    x = jnp.asarray(rng.standard_normal((2, 129, 128)), jnp.float32)
+    ref = L.encoder_layer_apply(p1, x, 8, 0.0, None, False, policy=REFERENCE)
+    ref = np.asarray(L.encoder_layer_apply(p2, ref, 8, 0.0, None, False,
+                                           policy=REFERENCE))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_encoder_layer_v3_int8_stack(x, [q1, q2], 8))
+        got_cls = np.asarray(fused_encoder_layer_v3_int8_stack(
+            x, [q1, q2], 8, cls_only=True))
+    assert np.abs(got - ref).max() < 0.25  # int8 weight quant noise
+    np.testing.assert_allclose(got_cls[:, 0], got[:, 0], atol=0.05)

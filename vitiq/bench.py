@@ -378,6 +378,42 @@ def bench_e2e_serving(num_frames: int = 65536, batch_size: Optional[int] = None,
     }
 
 
+def bench_streaming(num_channels: int = 64, windows: Optional[int] = None,
+                    steps: int = 24) -> Dict:
+    """BASELINE config 5: wideband stream -> 64-channel polyphase channelizer
+    -> fused normalize+classify, ONE jit program (vitiq/streaming.py). Reports
+    classified frames/s (each window yields num_channels frames)."""
+    from vitiq.streaming import make_streaming_classifier
+
+    windows = windows or max((_default_batch() // num_channels), 2)
+    cfg = flagship_vit_config("tpu")
+    params = init_amc_params(jax.random.PRNGKey(0), cfg)
+    fwd = make_forward(cfg)
+    classify = make_streaming_classifier(cfg, fwd, FLAGSHIP_STATS,
+                                         num_channels=num_channels)
+    n = num_channels * cfg.seq_length
+    rng = np.random.default_rng(0)
+    wide = jax.device_put(jnp.asarray(
+        rng.standard_normal((windows, n)) + 1j * rng.standard_normal((windows, n)),
+        jnp.complex64))
+
+    def run(i, params, w):
+        wi = w + (i.astype(jnp.float32) * 1e-6).astype(w.dtype)
+        return classify(params, wi).argmax(axis=-1)
+
+    t = _time_amortized(run, (params, wide), steps, _default_inner())
+    frames = windows * num_channels
+    return {
+        "metric": "streaming_channelized_frames_per_sec_per_chip",
+        "value": frames / t["p50_s"],
+        "unit": "frames/s",
+        "num_channels": num_channels,
+        "windows_per_call": windows,
+        "p50_latency_ms": t["p50_s"] * 1e3,
+        "backend": jax.default_backend(),
+    }
+
+
 def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = None,
                    steps: int = 30, n_head: Optional[int] = None,
                    data_parallel: Optional[int] = None) -> Dict:
@@ -402,6 +438,8 @@ def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = N
         return bench_ingestion()
     if which == "e2e_serving":
         return bench_e2e_serving(batch_size=batch_size)
+    if which == "streaming":
+        return bench_streaming(windows=batch_size)
     if which == "all":
         return {
             "fused_vit_infer": bench_fused_infer("vit", batch_size, steps),

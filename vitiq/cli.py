@@ -240,7 +240,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--which", default="fused_vit_infer",
                    choices=["fused_vit_infer", "rawiq_infer", "conv1d_infer",
                             "int8_infer", "train_step", "head_variant",
-                            "dsp_frontend", "ingestion", "e2e_serving", "all"])
+                            "dsp_frontend", "ingestion", "e2e_serving", "streaming", "all"])
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--n_head", type=int, default=None,

@@ -864,6 +864,184 @@ def fused_encoder_layer_int8(
     return out[:B, :L, :]
 
 
+def _fused_layer_kernel_v3_w8(
+    x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
+    g1_ref, be1_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+    g2_ref, be2_ref, o_ref, attn_scratch,
+    *, seq_len: int, n_head: int,
+):
+    """v3 attention + INT8 weight GEMMs (W8A8: per-out-channel weight scales,
+    dynamic per-row activation scales). The attention core stays the bf16 v3
+    path — the int8 ATTENTION core measured 2.5x SLOWER (docs/BENCHMARKS.md),
+    but the weight GEMMs (QKV/proj/FFN, ~34% of MXU passes) run at the int8
+    MXU's 2x rate. The q-section of sqkv/bqkv arrives pre-multiplied by
+    softmax_scale*log2e (host fold), as in v3."""
+    g, lp, d = x_ref.shape
+    dh = d // n_head
+    x = x_ref[:]
+
+    def int8_gemm(t, w_ref, s_ref, b_ref):
+        tq, rs = _row_quant(t)
+        acc = jax.lax.dot_general(
+            tq, w_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * rs * s_ref[:] + b_ref[:]
+
+    qkv = int8_gemm(x, wqkv_ref, sqkv_ref, bqkv_ref).astype(x.dtype)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=2)
+    if seq_len < lp:
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=1)
+        ones_block = jnp.where((lane == 0) & (row < seq_len), 1.0, 0.0)
+        v_mask = (row < seq_len)
+    else:
+        ones_block = jnp.where(lane == 0, 1.0, 0.0)
+        v_mask = None
+    ones_block = ones_block.astype(x.dtype)
+
+    for h in range(n_head):
+        q = qkv[:, :, h * dh:(h + 1) * dh]
+        k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
+        v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        if v_mask is not None:
+            v = jnp.where(v_mask, v, 0)
+        vaug = jnp.concatenate([v, ones_block], axis=-1)
+        acc = None
+        for c0 in range(0, lp, 128):
+            t = min(128, lp - c0)
+            scores = jax.lax.dot_general(
+                q, k[:, c0:c0 + t, :],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            probs = jnp.exp2(scores).astype(x.dtype)
+            part = jax.lax.dot_general(
+                probs, vaug[:, c0:c0 + t, :],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        attn_scratch[:, :, h * dh:(h + 1) * dh] = (
+            acc[:, :, :dh] / acc[:, :, dh:dh + 1]).astype(attn_scratch.dtype)
+
+    proj = int8_gemm(attn_scratch[:], wo_ref, so_ref, bo_ref)
+    x1 = _layer_norm(proj + x.astype(jnp.float32), g1_ref[:], be1_ref[:], x.dtype)
+    hmid = jnp.maximum(int8_gemm(x1, w1_ref, s1_ref, b1_ref), 0.0).astype(x.dtype)
+    y = int8_gemm(hmid, w2_ref, s2_ref, b2_ref)
+    o_ref[:] = _layer_norm(y + x1.astype(jnp.float32), g2_ref[:], be2_ref[:],
+                           o_ref.dtype)
+
+
+def _dequant_layer(qlayer):
+    """Quantized layer param dict -> float layer param dict (for reusing the
+    bf16 kernels on int8-quantized weights, e.g. the CLS-only last layer)."""
+    def deq(ql):
+        return {"kernel": ql["kernel_q"].astype(jnp.float32) * ql["scale"],
+                "bias": ql["bias"]}
+
+    ap = qlayer["attention"]
+    return {
+        "attention": {k: deq(ap[k]) for k in ("w_q", "w_k", "w_v", "w_concat")},
+        "norm1": qlayer["norm1"],
+        "ffn": {"linear1": deq(qlayer["ffn"]["linear1"]),
+                "linear2": deq(qlayer["ffn"]["linear2"])},
+        "norm2": qlayer["norm2"],
+    }
+
+
+_LOG2E2 = 1.4426950408889634
+
+
+def fused_encoder_layer_v3_int8_stack(
+    x: jnp.ndarray,
+    qlayers,
+    n_head: int,
+    seq_len: Optional[int] = None,
+    layers_per_call: int = 2,
+    cls_only: bool = False,
+) -> jnp.ndarray:
+    """Int8-weight v3 stack: W8A8 GEMMs + bf16 v3 attention per layer.
+
+    With cls_only, the final layer runs the bf16 CLS-only kernel on
+    dequantized weights (exact same quantized values; the 8-row tail is not
+    worth an int8 twin)."""
+    B, L, D = x.shape
+    seq_len = L if seq_len is None else seq_len
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    Lp = _round_up(L, sublane)
+    H = max(q["ffn"]["linear1"]["kernel_q"].shape[1] for q in qlayers)
+    G = _pick_batch_block_v3(Lp, D, H, x.dtype.itemsize)
+    Bp = _round_up(B, G)
+    xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
+
+    data_block = pl.BlockSpec((G, Lp, D), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    def rep(shape):
+        index_map = lambda i: tuple(0 for _ in shape)
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    scale = _LOG2E2 / ((D // n_head) ** 0.5)
+    full_layers = qlayers[:-1] if cls_only else qlayers
+
+    def layer_operands(ql):
+        ap = ql["attention"]
+        wqkv = jnp.concatenate([ap["w_q"]["kernel_q"], ap["w_k"]["kernel_q"],
+                                ap["w_v"]["kernel_q"]], axis=1)
+        # fold softmax scale*log2e into the q-section DEQUANT scales + biases
+        sqkv = jnp.concatenate([ap["w_q"]["scale"] * scale, ap["w_k"]["scale"],
+                                ap["w_v"]["scale"]]).astype(jnp.float32)
+        bqkv = jnp.concatenate([
+            ap["w_q"]["bias"].astype(jnp.float32) * scale,
+            ap["w_k"]["bias"].astype(jnp.float32),
+            ap["w_v"]["bias"].astype(jnp.float32)])
+        ffn = ql["ffn"]
+        return [
+            wqkv, sqkv, bqkv,
+            ap["w_concat"]["kernel_q"], ap["w_concat"]["scale"].astype(jnp.float32),
+            ap["w_concat"]["bias"].astype(jnp.float32),
+            ql["norm1"]["gamma"].astype(jnp.float32),
+            ql["norm1"]["beta"].astype(jnp.float32),
+            ffn["linear1"]["kernel_q"], ffn["linear1"]["scale"].astype(jnp.float32),
+            ffn["linear1"]["bias"].astype(jnp.float32),
+            ffn["linear2"]["kernel_q"], ffn["linear2"]["scale"].astype(jnp.float32),
+            ffn["linear2"]["bias"].astype(jnp.float32),
+            ql["norm2"]["gamma"].astype(jnp.float32),
+            ql["norm2"]["beta"].astype(jnp.float32),
+        ]
+
+    N_OPS = 16
+    for start in range(0, len(full_layers), layers_per_call):
+        group = full_layers[start:start + layers_per_call]
+        flat = [op for ql in group for op in layer_operands(ql)]
+
+        def kernel(x_ref, *rest, n_layers=len(group)):
+            weight_refs, o_ref, attn_scratch = rest[:-2], rest[-2], rest[-1]
+            for c in range(n_layers):
+                src = x_ref if c == 0 else o_ref
+                _fused_layer_kernel_v3_w8(
+                    src, *weight_refs[c * N_OPS:(c + 1) * N_OPS],
+                    o_ref, attn_scratch,
+                    seq_len=seq_len, n_head=n_head,
+                )
+
+        xp = pl.pallas_call(
+            kernel,
+            grid=(Bp // G,),
+            in_specs=[data_block] + [rep(o.shape) for o in flat],
+            out_specs=data_block,
+            out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
+            scratch_shapes=[pltpu.VMEM((G, Lp, D), x.dtype)],
+        )(xp, *flat)
+
+    if cls_only:
+        return fused_encoder_layer_v3_stack(
+            xp[:B, :L, :D], [_dequant_layer(qlayers[-1])], n_head,
+            seq_len=seq_len, cls_only=True)
+    return xp[:B, :L, :D]
+
+
 def _pick_batch_block(Lp: int, D: int, H: int, itemsize: int) -> int:
     for g in (16, 8, 4, 2, 1):
         x_like = g * Lp * D  # x / qkv(3x) / attn / out blocks

@@ -125,15 +125,26 @@ def make_quantized_forward(cfg, attention_fn: Callable | None = None) -> Callabl
                                    (x.shape[0], 1, x.shape[2]))
             x = jnp.concatenate([cls, x], axis=1)
         x = emb.add_positional_encoding(x, cfg.num_tokens)
-        # on TPU, each layer runs as one int8-GEMM fused Pallas kernel
+        # on TPU the layers run as fused int8-GEMM Pallas kernels; the v3
+        # int8 stack (W8A8 GEMMs + bf16 v3 attention + CLS-only last layer)
+        # supersedes the per-layer v1 kernel (VITIQ_FUSED_VERSION=v1 keeps it)
         use_fused = (jax.default_backend() == "tpu"
                      and os.environ.get("VITIQ_NO_FUSED_LAYER") != "1")
         if use_fused:
-            from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_int8
-
             x = x.astype(jnp.bfloat16)
-            for qlayer in enc["layers"]:
-                x = fused_encoder_layer_int8(x, qlayer, cfg.n_head)
+            if os.environ.get("VITIQ_FUSED_VERSION") == "v1":
+                from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_int8
+
+                for qlayer in enc["layers"]:
+                    x = fused_encoder_layer_int8(x, qlayer, cfg.n_head)
+            else:
+                from vitiq.ops.pallas.fused_encoder_layer import (
+                    fused_encoder_layer_v3_int8_stack,
+                )
+
+                cls_only = (cfg.arm == "vit" or cfg.use_cls_token) and                     os.environ.get("VITIQ_CLS_ONLY", "1") != "0"
+                x = fused_encoder_layer_v3_int8_stack(
+                    x, enc["layers"], cfg.n_head, cls_only=cls_only)
         else:
             for qlayer in enc["layers"]:
                 x = encoder_layer(qlayer, x)
