@@ -393,15 +393,16 @@ def bench_streaming(num_channels: int = 64, windows: Optional[int] = None,
                                          num_channels=num_channels)
     n = num_channels * cfg.seq_length
     rng = np.random.default_rng(0)
-    wide = jax.device_put(jnp.asarray(
-        rng.standard_normal((windows, n)) + 1j * rng.standard_normal((windows, n)),
-        jnp.complex64))
+    # complex64 host->device transfer is not supported through this
+    # environment's relay — ship real/imag as f32 and combine on-device
+    wr = jax.device_put(jnp.asarray(rng.standard_normal((windows, n)), jnp.float32))
+    wi_ = jax.device_put(jnp.asarray(rng.standard_normal((windows, n)), jnp.float32))
 
-    def run(i, params, w):
-        wi = w + (i.astype(jnp.float32) * 1e-6).astype(w.dtype)
-        return classify(params, wi).argmax(axis=-1)
+    def run(i, params, wr, wi_):
+        w = (wr + i * 1e-6) + 1j * wi_
+        return classify(params, w.astype(jnp.complex64)).argmax(axis=-1)
 
-    t = _time_amortized(run, (params, wide), steps, _default_inner())
+    t = _time_amortized(run, (params, wr, wi_), steps, _default_inner())
     frames = windows * num_channels
     return {
         "metric": "streaming_channelized_frames_per_sec_per_chip",
