@@ -114,6 +114,28 @@ def test_v3_stack_matches_reference_layers(Lx, n_head):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+@pytest.mark.parametrize("Lx", [129, 133, 136, 128])
+def test_v3_vpu_tail_matches_mxu_tiles(Lx, monkeypatch):
+    """The VPU rank-1 tail-key path (keys beyond the last full 128-wide MXU
+    tile computed as broadcast-multiply corrections) must match both the
+    tile-only kernel and the unfused reference. Covers n_tail = 1, 5, 8 and
+    the exact-128 no-tail boundary."""
+    from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v3_stack
+
+    rng = np.random.default_rng(17)
+    params = L.encoder_layer_init(jax.random.PRNGKey(60), 128, 256)
+    x = jnp.asarray(rng.standard_normal((2, Lx, 128)), jnp.float32)
+    want = np.asarray(L.encoder_layer_apply(params, x, 8, 0.0, None, False,
+                                            policy=REFERENCE))
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("VITIQ_V3_TAIL", "1")
+        got_tail = np.asarray(fused_encoder_layer_v3_stack(x, [params], 8))
+        monkeypatch.setenv("VITIQ_V3_TAIL", "0")
+        got_tiles = np.asarray(fused_encoder_layer_v3_stack(x, [params], 8))
+    np.testing.assert_allclose(got_tail, want, atol=1e-4)
+    np.testing.assert_allclose(got_tail, got_tiles, atol=1e-4)
+
+
 def test_v3_denominator_column_exact():
     """The MXU ones-column denominator must equal the true softmax sum even
     with large q/k biases (exercises the folded scale on the bias too)."""

@@ -60,6 +60,38 @@ def test_gradients_match_autodiff_nodrop(Lx, n_head):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.parametrize("Lx", [129, 133])
+def test_gradients_match_with_tail_keys(Lx, monkeypatch):
+    """VITIQ_TRAIN_TAIL=1: the packed cross-head tail path (fwd corrections +
+    bwd rank-1 gradient terms) must reproduce the autodiff gradients exactly
+    like the tile-only path. Gated off by default — the serving A/B measured
+    the remainder tile free on v5e — but kept correct."""
+    monkeypatch.setenv("VITIQ_TRAIN_TAIL", "1")
+    rng = np.random.default_rng(23)
+    params = L.encoder_layer_init(jax.random.PRNGKey(9), 128, 256)
+    x = jnp.asarray(rng.standard_normal((2, Lx, 128)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((2, Lx, 128)), jnp.float32)
+
+    def loss_ref(params, x):
+        return jnp.sum((_xla_layer(params, x, 8) - tgt) ** 2)
+
+    def loss_fused(params, x):
+        y = fused_train_layer_stack(x, [params], 8, 0.0, 7)
+        return jnp.sum((y - tgt) ** 2)
+
+    ref_gp, ref_gx = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    with pltpu.force_tpu_interpret_mode():
+        got_gp, got_gx = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(got_gx), np.asarray(ref_gx),
+                               atol=2e-3, rtol=1e-3)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_gp)
+    flat_got = jax.tree_util.tree_leaves(got_gp)
+    for (path, a), b in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-3, rtol=1e-3,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_dropout_masks_deterministic():
     """Same seed -> identical output; dropout on vs off differs. (Seed
     SENSITIVITY cannot be asserted here: interpret-mode prng_random_bits

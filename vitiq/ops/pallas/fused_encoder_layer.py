@@ -289,11 +289,143 @@ def fused_encoder_layer_v2_stack(
     return xp[:B, :L, :D]
 
 
+def _v3_attention_core(qkv, x_dtype, attn_scratch, *, seq_len: int,
+                       n_head: int, vpu_tail: bool = True):
+    """Score-tile-streamed attention shared by the v3 kernels.
+
+    qkv: [G, Lp, 3D] with the q section pre-scaled by softmax_scale*log2(e)
+    (host fold). Writes the NORMALIZED per-head attention outputs into
+    attn_scratch [G, nq, D], where nq = Lp for the full kernels or 8 for the
+    CLS-only kernel (query rows are always the first nq rows).
+
+    Key-coverage strategy (the round-2.5 addition): MXU pass count scales
+    with M-tiles x N-tiles, so a remainder score tile of width 16 costs the
+    SAME passes as a full 128-wide tile while carrying ~1 real key on the
+    flagship (Lp=144, seq_len=129). When the remainder holds <= 8 real keys,
+    it is computed instead as rank-1 VPU corrections — per tail key j:
+    s_j = sum(q * k_j) (broadcast multiply + lane reduction), p_j = exp2(s_j),
+    acc += p_j * [v_j | 1] — halving the attention MXU passes at Lp=144.
+    Padded keys are skipped entirely in that mode (no masking op needed);
+    otherwise the padded-key masking rides in zeroed [v|1] rows as before.
+    """
+    g, lp, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_head
+    nq = attn_scratch.shape[1]
+
+    mxu_k = (lp // 128) * 128
+    use_tail = (vpu_tail and mxu_k >= 128 and mxu_k <= seq_len
+                and (seq_len - mxu_k) <= 8)
+    if use_tail:
+        # vpu_tail == "drop" is a TIMING PROBE ONLY: the tail keys are
+        # dropped outright (wrong outputs) to bound the max win of removing
+        # the remainder tile. Set via VITIQ_V3_TAIL=drop.
+        n_tail = 0 if vpu_tail == "drop" else seq_len - mxu_k
+        v_mask = None  # every MXU-covered key (< mxu_k <= seq_len) is real
+    else:
+        mxu_k = lp
+        n_tail = 0
+        v_mask = None if seq_len >= lp else "mask"
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=2)
+    if v_mask is not None:
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=1)
+        ones_block = jnp.where((lane == 0) & (row < seq_len), 1.0, 0.0)
+        v_mask = (row < seq_len)
+    else:
+        ones_block = jnp.where(lane == 0, 1.0, 0.0)
+    ones_block = ones_block.astype(x_dtype)
+
+    accs = []
+    for h in range(n_head):
+        q = qkv[:, :nq, h * dh:(h + 1) * dh]
+        k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
+        v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        if v_mask is not None:
+            v = jnp.where(v_mask, v, 0)
+        vaug = jnp.concatenate([v, ones_block], axis=-1)  # [G, Lp, 2dh]
+        acc = None
+        for c0 in range(0, mxu_k, 128):
+            t = min(128, mxu_k - c0)
+            scores = jax.lax.dot_general(
+                q, k[:, c0:c0 + t, :],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [G, nq, t] — pre-scaled by scale*log2e via the folded W_q
+            probs = jnp.exp2(scores.astype(jnp.float32)).astype(x_dtype)
+            part = jax.lax.dot_general(
+                probs, vaug[:, c0:c0 + t, :],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [G, nq, 2dh]: [:dh] = unnormalized out, [dh] = denom
+            acc = part if acc is None else acc + part
+        if n_tail:
+            accs.append(acc)  # normalized after the packed tail correction
+        else:
+            attn_scratch[:, :, h * dh:(h + 1) * dh] = (
+                acc[:, :, :dh] / acc[:, :, dh:dh + 1]).astype(attn_scratch.dtype)
+
+    if n_tail:
+        # Packed cross-head tail: ALL heads' tail-key contributions ride in
+        # full-width ops. Per-head narrow VPU broadcasts lower catastrophically
+        # in Mosaic (measured 117.6 ms vs 79.8 baseline) and sublane-
+        # broadcasting a [G,1,D] row is rejected outright ("Invalid input
+        # layout" on vector.broadcast), so single rows are expanded to all
+        # query rows with a K=1 ONES OUTER-PRODUCT MATMUL — one MXU pass,
+        # the same cost class as everything else here. Per tail key j:
+        #   k_exp = ones @ k_row          row expansion (MXU, K=1)
+        #   s     = (q_all*k_exp) @ blk   [D, H] constant block-diag ones
+        #   p     = exp2(s)               [G, nq, H]
+        #   pexp  = p @ blk^T             p_h onto head-h lanes (MXU)
+        #   corr  = pexp * (ones @ v_row)
+        # and the per-head normalize folds corr/p into out/denominator.
+        # Net: ~4 MXU passes per tail key replace a full score+PV tile pair
+        # per HEAD (8x18G passes on the flagship).
+        li = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 0)
+        hi = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 1)
+        blk = (li // dh == hi).astype(x_dtype)  # [D, H]
+        ones_col = jnp.ones((g, nq, 1), x_dtype)
+
+        def expand_row(rowvec):  # [G, 1, D] -> [G, nq, D] (f32)
+            return jax.lax.dot_general(
+                ones_col, rowvec,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+
+        q_all = qkv[:, :nq, :d]
+        corr = None
+        pacc = None
+        for j in range(n_tail):
+            k_row = qkv[:, mxu_k + j:mxu_k + j + 1, d:2 * d]
+            v_row = qkv[:, mxu_k + j:mxu_k + j + 1, 2 * d:3 * d]
+            prod = q_all * expand_row(k_row).astype(x_dtype)  # [G, nq, D]
+            s_all = jax.lax.dot_general(
+                prod, blk, dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, nq, H] — column h = q_h . k_h(tail j), pre-scaled
+            p_all = jnp.exp2(s_all)
+            p_exp = jax.lax.dot_general(
+                p_all.astype(x_dtype), blk,
+                dimension_numbers=(((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, nq, D] — p_h broadcast across head-h lanes
+            c = p_exp * expand_row(v_row)
+            corr = c if corr is None else corr + c
+            pacc = p_all if pacc is None else pacc + p_all
+
+        for h in range(n_head):
+            acc = accs[h]
+            out = acc[:, :, :dh] + corr[:, :, h * dh:(h + 1) * dh]
+            den = acc[:, :, dh:dh + 1] + pacc[:, :, h:h + 1]
+            attn_scratch[:, :, h * dh:(h + 1) * dh] = (
+                out / den).astype(attn_scratch.dtype)
+
+
 def _fused_layer_kernel_v3(
     x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     g1_ref, be1_ref, w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
     o_ref, attn_scratch,
-    *, seq_len: int, n_head: int,
+    *, seq_len: int, n_head: int, vpu_tail: bool = True,
 ):
     """Score-tile-streamed attention variant.
 
@@ -323,7 +455,6 @@ def _fused_layer_kernel_v3(
     docstring); everything after attention is identical to v1.
     """
     g, lp, d = x_ref.shape
-    dh = d // n_head
     x = x_ref[:]
 
     qkv = jax.lax.dot_general(
@@ -343,40 +474,8 @@ def _fused_layer_kernel_v3(
     # scripts/tpu_probe_mask_ops.py for the op-by-op bisection.)
     # Correctness requires the padded columns' probs to stay FINITE, which
     # holds under the same |score| < 88 bound as the rest of the kernel.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=2)
-    if seq_len < lp:
-        row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=1)
-        ones_block = jnp.where((lane == 0) & (row < seq_len), 1.0, 0.0)
-        v_mask = (row < seq_len)
-    else:
-        ones_block = jnp.where(lane == 0, 1.0, 0.0)
-        v_mask = None
-    ones_block = ones_block.astype(x.dtype)
-
-    for h in range(n_head):
-        q = qkv[:, :, h * dh:(h + 1) * dh]
-        k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
-        v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
-        if v_mask is not None:
-            v = jnp.where(v_mask, v, 0)
-        vaug = jnp.concatenate([v, ones_block], axis=-1)  # [G, Lp, 2dh]
-        acc = None
-        for c0 in range(0, lp, 128):
-            t = min(128, lp - c0)
-            scores = jax.lax.dot_general(
-                q, k[:, c0:c0 + t, :],
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [G, Lp, t] — pre-scaled by scale*log2e via the folded W_q
-            probs = jnp.exp2(scores.astype(jnp.float32)).astype(x.dtype)
-            part = jax.lax.dot_general(
-                probs, vaug[:, c0:c0 + t, :],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [G, Lp, 2dh]: [:dh] = unnormalized out, [dh] = denom
-            acc = part if acc is None else acc + part
-        attn_scratch[:, :, h * dh:(h + 1) * dh] = (
-            acc[:, :, :dh] / acc[:, :, dh:dh + 1]).astype(attn_scratch.dtype)
+    _v3_attention_core(qkv, x.dtype, attn_scratch, seq_len=seq_len,
+                       n_head=n_head, vpu_tail=vpu_tail)
 
     proj = jax.lax.dot_general(
         attn_scratch[:], wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
@@ -508,7 +607,7 @@ def _fused_layer_kernel_v3_cls(
     x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     g1_ref, be1_ref, w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
     o_ref, attn_scratch,
-    *, seq_len: int, n_head: int,
+    *, seq_len: int, n_head: int, vpu_tail: bool = True,
 ):
     """v3 kernel computing ONLY the CLS row (query 0) of the layer output.
 
@@ -519,7 +618,6 @@ def _fused_layer_kernel_v3_cls(
     K/V still come from the full token stream. o_ref: [G, 8, D] (row 0 valid).
     """
     g, lp, d = x_ref.shape
-    dh = d // n_head
     rq = o_ref.shape[1]  # 8: one sublane tile of query rows
     x = x_ref[:]
 
@@ -529,40 +627,8 @@ def _fused_layer_kernel_v3_cls(
     ) + bqkv_ref[:]
     qkv = qkv.astype(x.dtype)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=2)
-    if seq_len < lp:
-        row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=1)
-        ones_block = jnp.where((lane == 0) & (row < seq_len), 1.0, 0.0)
-        v_mask = (row < seq_len)
-    else:
-        ones_block = jnp.where(lane == 0, 1.0, 0.0)
-        v_mask = None
-    ones_block = ones_block.astype(x.dtype)
-
-    for h in range(n_head):
-        q = qkv[:, :rq, h * dh:(h + 1) * dh]
-        k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
-        v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
-        if v_mask is not None:
-            v = jnp.where(v_mask, v, 0)
-        vaug = jnp.concatenate([v, ones_block], axis=-1)
-        acc = None
-        for c0 in range(0, lp, 128):
-            t = min(128, lp - c0)
-            scores = jax.lax.dot_general(
-                q, k[:, c0:c0 + t, :],
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [G, rq, t]
-            probs = jnp.exp2(scores).astype(x.dtype)
-            part = jax.lax.dot_general(
-                probs, vaug[:, c0:c0 + t, :],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            acc = part if acc is None else acc + part
-        attn_scratch[:, :, h * dh:(h + 1) * dh] = (
-            acc[:, :, :dh] / acc[:, :, dh:dh + 1]).astype(attn_scratch.dtype)
+    _v3_attention_core(qkv, x.dtype, attn_scratch, seq_len=seq_len,
+                       n_head=n_head, vpu_tail=vpu_tail)
 
     xr = x[:, :rq, :]
     proj = jax.lax.dot_general(
@@ -628,9 +694,17 @@ def fused_encoder_layer_v3_stack(
     seq_len = L if seq_len is None else seq_len
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     Lp = _round_up(L, sublane)
-    # probe knobs (scripts/tpu_time.py A/Bs): VITIQ_V3_G, VITIQ_V3_LPC
+    # probe knobs (scripts/tpu_time.py A/Bs): VITIQ_V3_G, VITIQ_V3_LPC,
+    # VITIQ_V3_TAIL. The tail-key rework is default-OFF: measured on v5e the
+    # 16-wide remainder score tile is FREE (drop probe 79.04 ms vs baseline
+    # 78.97) and every replacement is a net loss (narrow VPU rank-1: 117.6;
+    # packed ones-matmul expansion: 96.9) — MXU cost tracks the actual N
+    # width, not ceil(N/128), so there was nothing to win. Kept (gated +
+    # tested) as the record of that measurement.
     g_override = g_override or int(os.environ.get("VITIQ_V3_G", "0")) or None
     layers_per_call = layers_per_call or int(os.environ.get("VITIQ_V3_LPC", "0")) or 2
+    _tail_env = os.environ.get("VITIQ_V3_TAIL", "0")
+    vpu_tail = "drop" if _tail_env == "drop" else _tail_env != "0"
     G = g_override or _pick_batch_block_v3(Lp, D, max(
         lp_["ffn"]["linear1"]["kernel"].shape[1] for lp_ in layer_params_list
     ), x.dtype.itemsize)
@@ -698,7 +772,7 @@ def fused_encoder_layer_v3_stack(
                     _fused_layer_kernel_v3(
                         src, *weight_refs[c * N_OPS:(c + 1) * N_OPS],
                         o_ref, attn_scratch,
-                        seq_len=seq_len, n_head=n_head,
+                        seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
                     )
 
         xp = pl.pallas_call(
@@ -714,7 +788,8 @@ def fused_encoder_layer_v3_stack(
         rq = 8  # one sublane tile of query rows (row 0 = CLS)
         flat = layer_operands(layer_params_list[-1])
         cls_kernel = functools.partial(
-            _fused_layer_kernel_v3_cls, seq_len=seq_len, n_head=n_head)
+            _fused_layer_kernel_v3_cls, seq_len=seq_len, n_head=n_head,
+            vpu_tail=vpu_tail)
         out_block = pl.BlockSpec((G, rq, D), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
         xp = pl.pallas_call(
@@ -868,7 +943,7 @@ def _fused_layer_kernel_v3_w8(
     x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
     g1_ref, be1_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     g2_ref, be2_ref, o_ref, attn_scratch,
-    *, seq_len: int, n_head: int,
+    *, seq_len: int, n_head: int, vpu_tail: bool = True,
 ):
     """v3 attention + INT8 weight GEMMs (W8A8: per-out-channel weight scales,
     dynamic per-row activation scales). The attention core stays the bf16 v3
@@ -877,7 +952,6 @@ def _fused_layer_kernel_v3_w8(
     MXU's 2x rate. The q-section of sqkv/bqkv arrives pre-multiplied by
     softmax_scale*log2e (host fold), as in v3."""
     g, lp, d = x_ref.shape
-    dh = d // n_head
     x = x_ref[:]
 
     def int8_gemm(t, w_ref, s_ref, b_ref):
@@ -890,40 +964,8 @@ def _fused_layer_kernel_v3_w8(
 
     qkv = int8_gemm(x, wqkv_ref, sqkv_ref, bqkv_ref).astype(x.dtype)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=2)
-    if seq_len < lp:
-        row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=1)
-        ones_block = jnp.where((lane == 0) & (row < seq_len), 1.0, 0.0)
-        v_mask = (row < seq_len)
-    else:
-        ones_block = jnp.where(lane == 0, 1.0, 0.0)
-        v_mask = None
-    ones_block = ones_block.astype(x.dtype)
-
-    for h in range(n_head):
-        q = qkv[:, :, h * dh:(h + 1) * dh]
-        k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
-        v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
-        if v_mask is not None:
-            v = jnp.where(v_mask, v, 0)
-        vaug = jnp.concatenate([v, ones_block], axis=-1)
-        acc = None
-        for c0 in range(0, lp, 128):
-            t = min(128, lp - c0)
-            scores = jax.lax.dot_general(
-                q, k[:, c0:c0 + t, :],
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            probs = jnp.exp2(scores).astype(x.dtype)
-            part = jax.lax.dot_general(
-                probs, vaug[:, c0:c0 + t, :],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            acc = part if acc is None else acc + part
-        attn_scratch[:, :, h * dh:(h + 1) * dh] = (
-            acc[:, :, :dh] / acc[:, :, dh:dh + 1]).astype(attn_scratch.dtype)
+    _v3_attention_core(qkv, x.dtype, attn_scratch, seq_len=seq_len,
+                       n_head=n_head, vpu_tail=vpu_tail)
 
     proj = int8_gemm(attn_scratch[:], wo_ref, so_ref, bo_ref)
     x1 = _layer_norm(proj + x.astype(jnp.float32), g1_ref[:], be1_ref[:], x.dtype)

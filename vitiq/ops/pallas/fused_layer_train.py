@@ -85,6 +85,23 @@ def _dropout_mask(shape, rate: float):
     return keep * (1.0 / (1.0 - rate))
 
 
+def _key_split(lp: int, seq_len: int):
+    """(mxu_k, n_tail): keys [0, mxu_k) go through 128-wide MXU score tiles;
+    the n_tail real keys at [mxu_k, seq_len) become packed cross-head
+    corrections. Default OFF (VITIQ_TRAIN_TAIL=1 to enable): the serving-side
+    A/B measured the remainder tile FREE on v5e (MXU cost tracks actual N
+    width, not ceil(N/128)) and every replacement a net loss — see
+    fused_encoder_layer.fused_encoder_layer_v3_stack. Kept gated + tested."""
+    import os
+
+    if os.environ.get("VITIQ_TRAIN_TAIL", "0") != "1":
+        return lp, 0
+    mxu_k = (lp // 128) * 128
+    if mxu_k >= 128 and mxu_k <= seq_len and (seq_len - mxu_k) <= 8:
+        return mxu_k, seq_len - mxu_k
+    return lp, 0
+
+
 def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
     """Shared fwd attention (v3 structure) on a [G, Lp, 3D] qkv block.
 
@@ -95,18 +112,20 @@ def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
     d = d3 // 3
     dh = d // n_head
 
+    mxu_k, n_tail = _key_split(lp, seq_len)
     lane = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=2)
-    if seq_len < lp:
+    if seq_len < lp and n_tail == 0:
         row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=1)
         ones_block = jnp.where((lane == 0) & (row < seq_len), 1.0, 0.0)
         kv_mask = row < seq_len
     else:
+        # tail mode: MXU tiles cover only real keys and the tail loop skips
+        # padded keys entirely — no masking op needed anywhere
         ones_block = jnp.where(lane == 0, 1.0, 0.0)
         kv_mask = None
     ones_block = ones_block.astype(x_dtype)
 
-    outs = []
-    heads = []
+    accs, qkvs = [], []
     for h in range(n_head):
         q = qkv[:, :, h * dh:(h + 1) * dh]
         k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
@@ -117,8 +136,8 @@ def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
         qs = (q.astype(jnp.float32) * scale2).astype(x_dtype)
         vaug = jnp.concatenate([v, ones_block], axis=-1)
         acc = None
-        for c0 in range(0, lp, 128):
-            t = min(128, lp - c0)
+        for c0 in range(0, mxu_k, 128):
+            t = min(128, mxu_k - c0)
             scores = jax.lax.dot_general(
                 qs, k[:, c0:c0 + t, :],
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -131,10 +150,57 @@ def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
                 preferred_element_type=jnp.float32,
             )
             acc = part if acc is None else acc + part
+        accs.append(acc)
+        qkvs.append((qs, k, v))
+
+    corr = pacc = None
+    if n_tail:
+        # Packed cross-head tail (wide ops only — narrow per-head VPU
+        # broadcasts lower catastrophically in Mosaic; see
+        # fused_encoder_layer._v3_attention_core for the measured A/B)
+        li = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 0)
+        hi = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 1)
+        blk = (li // dh == hi).astype(x_dtype)  # [D, H] block-diag ones
+        ones_col = jnp.ones((g, lp, 1), x_dtype)
+
+        def expand_row(rowvec):  # [G, 1, D] -> [G, Lp, D] (f32); Mosaic
+            # rejects sublane-broadcasting a row, so expand via a K=1 matmul
+            return jax.lax.dot_general(
+                ones_col, rowvec,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+
+        q_all_s = (qkv[:, :, :d].astype(jnp.float32) * scale2).astype(x_dtype)
+        for j in range(n_tail):
+            r = mxu_k + j
+            k_row = qkv[:, r:r + 1, d:2 * d]
+            v_row = qkv[:, r:r + 1, 2 * d:3 * d]
+            prod = q_all_s * expand_row(k_row).astype(x_dtype)  # [G, Lp, D]
+            s_all = jax.lax.dot_general(
+                prod, blk, dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [G, Lp, H]
+            p_all = jnp.exp2(s_all)
+            p_exp = jax.lax.dot_general(
+                p_all.astype(x_dtype), blk,
+                dimension_numbers=(((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [G, Lp, D]
+            c = p_exp * expand_row(v_row)
+            corr = c if corr is None else corr + c
+            pacc = p_all if pacc is None else pacc + p_all
+
+    outs = []
+    heads = []
+    for h in range(n_head):
+        acc = accs[h]
+        out_u = acc[:, :, :dh]
         denom = acc[:, :, dh:dh + 1]
-        out = acc[:, :, :dh] / denom
+        if n_tail:
+            out_u = out_u + corr[:, :, h * dh:(h + 1) * dh]
+            denom = denom + pacc[:, :, h:h + 1]
+        out = out_u / denom
         outs.append(out.astype(x_dtype))
         if want_residuals:
+            qs, k, v = qkvs[h]
             heads.append((qs, k, v, denom, out))
     attn = jnp.concatenate(outs, axis=-1)
     return (attn, heads) if want_residuals else (attn, None)
@@ -326,7 +392,9 @@ def _bwd_kernel(
         dab, wo_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(x.dtype)
 
-    # attention backward, per head, tiled over keys
+    # attention backward, per head, tiled over keys (tail keys beyond the
+    # last full 128-wide tile handled as rank-1 VPU terms, as in forward)
+    mxu_k, n_tail = _key_split(lp, seq_len)
     dq_heads, dk_heads, dv_heads = [], [], []
     for hd_i in range(n_head):
         qs, k, v, denom, out = heads[hd_i]
@@ -336,8 +404,8 @@ def _bwd_kernel(
         dq_acc = None
         dk_cols = []
         dv_cols = []
-        for c0 in range(0, lp, 128):
-            t = min(128, lp - c0)
+        for c0 in range(0, mxu_k, 128):
+            t = min(128, mxu_k - c0)
             scores = jax.lax.dot_general(
                 qs, k[:, c0:c0 + t, :],
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -375,7 +443,89 @@ def _bwd_kernel(
         dk_heads.append(jnp.concatenate(dk_cols, axis=1) * _LN2)  # qs carries scale2
         dv_heads.append(jnp.concatenate(dv_cols, axis=1))
 
-    dqkv = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=-1)
+    if n_tail:
+        # Packed cross-head tail gradients — same layout rules as the fwd
+        # tail (wide ops + constant-matrix MXU contractions only; Mosaic
+        # rejects sublane broadcasts of single rows and narrow per-head VPU
+        # ops are catastrophically slow). Definitions per tail key j:
+        #   pbar_jh = exp2(s_jh) / denom_h          dp_jh = dout_h . v_h(j)
+        #   ds_jh  = pbar_jh (dp_jh - drow_h)
+        #   dq_h  += ds_jh k_h(j)                   (x LN2*scale2, raw-k basis)
+        #   dk_h(j) = sum_i ds_ijh qs_ih            (x LN2)
+        #   dv_h(j) = sum_i pbar_ijh dout_ih
+        # The query-dim reductions AND the tail-row placement fuse into one
+        # one-hot matmul: sel[r, i] = (r == j) -> sel @ A = row j holds
+        # sum_i A[i], other rows 0.
+        li = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 0)
+        hi = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 1)
+        blk = (li // dh == hi).astype(x.dtype)  # [D, H] block-diag ones
+        ones_col = jnp.ones((g, lp, 1), x.dtype)
+
+        def expand_row(rowvec):  # [G, 1, D] -> [G, Lp, D] (f32) via K=1 MXU
+            return jax.lax.dot_general(
+                ones_col, rowvec,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+
+        def reduce_to_row(a_bf16, j):  # [G, Lp, D] -> [G, tail_rows, D]
+            sel = (jax.lax.broadcasted_iota(
+                jnp.int32, (g, lp - mxu_k, lp), 1) == j).astype(x.dtype)
+            return jax.lax.dot_general(
+                sel, a_bf16, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+
+        # denominator of head h at column h: gather the per-head denom lanes
+        # (lane h*2dh + dh of the concatenated accs) with a selection matmul
+        acc_all = jnp.concatenate([hd[3] for hd in heads], axis=-1)  # [G,Lq,H] f32
+        denom_cat = acc_all  # heads[h][3] is [G, Lq, 1] -> concat IS [G,Lq,H]
+        qs_all = (qkv[:, :, :d].astype(jnp.float32) * scale2).astype(x.dtype)
+        dattn32 = dattn.astype(jnp.float32)
+        attn32 = attn.astype(jnp.float32)
+        drow_cat = jax.lax.dot_general(
+            (dattn32 * attn32).astype(x.dtype), blk,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [G, Lq, H]
+
+        dq_all = jnp.concatenate(dq_heads, axis=-1)  # [G, Lq, D]
+        dk_tail_acc = None
+        dv_tail_acc = None
+        for j in range(n_tail):
+            r = mxu_k + j
+            k_row = qkv[:, r:r + 1, d:2 * d]
+            v_row = qkv[:, r:r + 1, 2 * d:3 * d]
+            k_exp = expand_row(k_row)  # [G, Lp, D] f32
+            prod = qs_all * k_exp.astype(x.dtype)
+            s_all = jax.lax.dot_general(
+                prod, blk, dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [G, Lq, H]
+            pbar_all = jnp.exp2(s_all) / denom_cat
+            dp_all = jax.lax.dot_general(
+                (dattn32 * expand_row(v_row)).astype(x.dtype), blk,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [G, Lq, H]
+            ds_all = pbar_all * (dp_all - drow_cat)
+            ds_exp = jax.lax.dot_general(
+                ds_all.astype(x.dtype), blk,
+                dimension_numbers=(((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [G, Lq, D]
+            dq_all = dq_all + (ds_exp * k_exp) * (_LN2 * scale2)
+            pbar_exp = jax.lax.dot_general(
+                pbar_all.astype(x.dtype), blk,
+                dimension_numbers=(((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [G, Lq, D]
+            dk_t = reduce_to_row(
+                (ds_exp * qs_all.astype(jnp.float32)).astype(x.dtype), j)
+            dv_t = reduce_to_row((pbar_exp * dattn32).astype(x.dtype), j)
+            dk_tail_acc = dk_t if dk_tail_acc is None else dk_tail_acc + dk_t
+            dv_tail_acc = dv_t if dv_tail_acc is None else dv_tail_acc + dv_t
+
+        dk_all = jnp.concatenate(
+            [jnp.concatenate(dk_heads, axis=-1), dk_tail_acc * _LN2], axis=1)
+        dv_all = jnp.concatenate(
+            [jnp.concatenate(dv_heads, axis=-1), dv_tail_acc], axis=1)
+        dqkv = jnp.concatenate([dq_all, dk_all, dv_all], axis=-1)
+    else:
+        dqkv = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=-1)
     if seq_len < lp:
         rowq = jax.lax.broadcasted_iota(jnp.int32, (g, lp, 3 * d), dimension=1)
         dqkv = jnp.where(rowq < seq_len, dqkv, 0.0)
