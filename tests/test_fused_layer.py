@@ -136,6 +136,23 @@ def test_v3_vpu_tail_matches_mxu_tiles(Lx, monkeypatch):
     np.testing.assert_allclose(got_tail, got_tiles, atol=1e-4)
 
 
+@pytest.mark.parametrize("hg,Lx", [(2, 129), (4, 129), (8, 129), (4, 17),
+                                   (2, 200)])
+def test_v3_head_group_matches_reference(hg, Lx, monkeypatch):
+    """VITIQ_V3_HG>1 (head-grouped score->exp->PV staging) must be exact."""
+    from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v3_stack
+
+    rng = np.random.default_rng(31)
+    params = L.encoder_layer_init(jax.random.PRNGKey(70), 128, 256)
+    x = jnp.asarray(rng.standard_normal((2, Lx, 128)), jnp.float32)
+    want = np.asarray(L.encoder_layer_apply(params, x, 8, 0.0, None, False,
+                                            policy=REFERENCE))
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("VITIQ_V3_HG", str(hg))
+        got = np.asarray(fused_encoder_layer_v3_stack(x, [params], 8))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_v3_denominator_column_exact():
     """The MXU ones-column denominator must equal the true softmax sum even
     with large q/k biases (exercises the folded scale on the bias too)."""

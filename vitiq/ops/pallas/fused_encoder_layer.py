@@ -289,8 +289,32 @@ def fused_encoder_layer_v2_stack(
     return xp[:B, :L, :D]
 
 
-def _v3_attention_core(qkv, x_dtype, attn_scratch, *, seq_len: int,
-                       n_head: int, vpu_tail: bool = True):
+def _wide_divide_epilogue(attn_scratch, nums_ref, dens_ref, x_dtype,
+                          n_head: int, dh: int, d: int):
+    """ONE [G,nq,D] divide instead of 8 narrow per-head ones: denominators
+    are expanded onto head lanes with a constant block-diag matmul; the
+    hi/lo split keeps ~f32 denominator accuracy through the bf16 MXU
+    (lo <= den*2^-9, so its rounding is ~den*2^-17)."""
+    hh = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 0)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 1)
+    blk_t = (ll // dh == hh).astype(x_dtype)  # [H, D]
+    dens = dens_ref[:]
+    hi_p = dens.astype(x_dtype)
+    lo_p = (dens - hi_p.astype(jnp.float32)).astype(x_dtype)
+    den_exp = jax.lax.dot_general(
+        hi_p, blk_t, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        lo_p, blk_t, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [G, nq, D]
+    attn_scratch[:] = (nums_ref[:] / den_exp).astype(attn_scratch.dtype)
+
+
+def _v3_attention_core(qkv, x_dtype, attn_scratch, nums_ref=None,
+                       dens_ref=None, *, seq_len: int,
+                       n_head: int, vpu_tail: bool = True,
+                       probe: Optional[str] = None, head_group: int = 1):
     """Score-tile-streamed attention shared by the v3 kernels.
 
     qkv: [G, Lp, 3D] with the q section pre-scaled by softmax_scale*log2(e)
@@ -312,6 +336,14 @@ def _v3_attention_core(qkv, x_dtype, attn_scratch, *, seq_len: int,
     d = d3 // 3
     dh = d // n_head
     nq = attn_scratch.shape[1]
+
+    # TIMING-ONLY surgery probes (wrong outputs; VITIQ_V3_PROBE):
+    #   noattn  — skip scores/softmax/PV entirely (attn := v)
+    #   noscore — replace the score matmuls with a lane-broadcast column
+    #   nopv    — replace the PV matmuls with a probs slice
+    if probe == "noattn":
+        attn_scratch[:] = qkv[:, :nq, 2 * d:3 * d].astype(attn_scratch.dtype)
+        return
 
     mxu_k = (lp // 128) * 128
     use_tail = (vpu_tail and mxu_k >= 128 and mxu_k <= seq_len
@@ -336,6 +368,69 @@ def _v3_attention_core(qkv, x_dtype, attn_scratch, *, seq_len: int,
         ones_block = jnp.where(lane == 0, 1.0, 0.0)
     ones_block = ones_block.astype(x_dtype)
 
+    if head_group > 1 and n_tail == 0 and probe is None:
+        # HEAD-GROUPED STAGING: the kernel is serialization-bound across the
+        # 8 sequential per-head score->exp->PV chains (measured: dropping the
+        # entire second-tile chain saves ~0 — it rides in scheduling slack —
+        # while the critical path is per-head). Grouping `head_group` heads
+        # per stage issues their score matmuls back-to-back, runs ONE wide
+        # exp2 over the concatenated [G, nq, hg*128] scores, then their PVs —
+        # widening every VPU stage and giving the scheduler independent MXU
+        # work to overlap with the VPU.
+        full_k = (lp // 128) * 128
+        rem = lp - full_k
+        qs_, ks_, vaugs = [], [], []
+        for h in range(n_head):
+            q = qkv[:, :nq, h * dh:(h + 1) * dh]
+            k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
+            v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            if v_mask is not None:
+                v = jnp.where(v_mask, v, 0)
+            qs_.append(q)
+            ks_.append(k)
+            vaugs.append(jnp.concatenate([v, ones_block], axis=-1))
+        for h0 in range(0, n_head, head_group):
+            grp = list(range(h0, min(h0 + head_group, n_head)))
+            acc_g = {h: None for h in grp}
+            for c0 in range(0, full_k, 128):
+                scs = [jax.lax.dot_general(
+                    qs_[h], ks_[h][:, c0:c0 + 128, :],
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32) for h in grp]
+                wide = scs[0] if len(scs) == 1 else jnp.concatenate(scs, -1)
+                probs_w = jnp.exp2(wide).astype(x_dtype)
+                for i, h in enumerate(grp):
+                    part = jax.lax.dot_general(
+                        probs_w[:, :, i * 128:(i + 1) * 128],
+                        vaugs[h][:, c0:c0 + 128, :],
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+                    acc_g[h] = part if acc_g[h] is None else acc_g[h] + part
+            for h in grp:
+                acc = acc_g[h]
+                if rem:
+                    sc = jax.lax.dot_general(
+                        qs_[h], ks_[h][:, full_k:lp, :],
+                        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+                    pr = jnp.exp2(sc).astype(x_dtype)
+                    part = jax.lax.dot_general(
+                        pr, vaugs[h][:, full_k:lp, :],
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+                    acc = part if acc is None else acc + part
+                if nums_ref is None:
+                    attn_scratch[:, :, h * dh:(h + 1) * dh] = (
+                        acc[:, :, :dh] / acc[:, :, dh:dh + 1]
+                    ).astype(attn_scratch.dtype)
+                else:
+                    nums_ref[:, :, h * dh:(h + 1) * dh] = acc[:, :, :dh]
+                    dens_ref[:, :, h:h + 1] = acc[:, :, dh:dh + 1]
+        if nums_ref is not None:
+            _wide_divide_epilogue(attn_scratch, nums_ref, dens_ref, x_dtype,
+                                  n_head, dh, d)
+        return
+
     accs = []
     for h in range(n_head):
         q = qkv[:, :nq, h * dh:(h + 1) * dh]
@@ -347,23 +442,49 @@ def _v3_attention_core(qkv, x_dtype, attn_scratch, *, seq_len: int,
         acc = None
         for c0 in range(0, mxu_k, 128):
             t = min(128, mxu_k - c0)
-            scores = jax.lax.dot_general(
-                q, k[:, c0:c0 + t, :],
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [G, nq, t] — pre-scaled by scale*log2e via the folded W_q
-            probs = jnp.exp2(scores.astype(jnp.float32)).astype(x_dtype)
-            part = jax.lax.dot_general(
-                probs, vaug[:, c0:c0 + t, :],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [G, nq, 2dh]: [:dh] = unnormalized out, [dh] = denom
+            if probe == "noscore":
+                scores = jax.lax.broadcast_in_dim(
+                    q[:, :, :1].astype(jnp.float32), (g, nq, t), (0, 1, 2))
+            else:
+                scores = jax.lax.dot_general(
+                    q, k[:, c0:c0 + t, :],
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [G, nq, t] — pre-scaled by scale*log2e via the folded W_q
+            if probe == "noexp":
+                probs = scores.astype(x_dtype)
+            else:
+                probs = jnp.exp2(scores.astype(jnp.float32)).astype(x_dtype)
+            if probe == "nopv":
+                part = jax.lax.broadcast_in_dim(
+                    probs[:, :, :1].astype(jnp.float32), (g, nq, 2 * dh),
+                    (0, 1, 2)) + 1.0
+            else:
+                part = jax.lax.dot_general(
+                    probs, vaug[:, c0:c0 + t, :],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [G, nq, 2dh]: [:dh] = unnormalized out, [dh] = denom
             acc = part if acc is None else acc + part
         if n_tail:
             accs.append(acc)  # normalized after the packed tail correction
-        else:
+        elif probe == "nodiv":
+            attn_scratch[:, :, h * dh:(h + 1) * dh] = (
+                acc[:, :, :dh]).astype(attn_scratch.dtype)
+        elif nums_ref is None:
+            # legacy epilogue: per-head narrow f32 divide — measured 17.5 ms
+            # over 6 flagship layers (nodiv probe 69.6 vs 87.1 baseline)
             attn_scratch[:, :, h * dh:(h + 1) * dh] = (
                 acc[:, :, :dh] / acc[:, :, dh:dh + 1]).astype(attn_scratch.dtype)
+        else:
+            nums_ref[:, :, h * dh:(h + 1) * dh] = acc[:, :, :dh]
+            dens_ref[:, :, h:h + 1] = acc[:, :, dh:dh + 1]
+
+    if not n_tail and probe != "nodiv" and nums_ref is not None:
+        # The 8 per-head [G,nq,16]/[G,nq,1] divides measured 2.9 ms/layer
+        # (nodiv probe); one wide divide replaces them.
+        _wide_divide_epilogue(attn_scratch, nums_ref, dens_ref, x_dtype,
+                              n_head, dh, d)
 
     if n_tail:
         # Packed cross-head tail: ALL heads' tail-key contributions ride in
@@ -424,8 +545,9 @@ def _v3_attention_core(qkv, x_dtype, attn_scratch, *, seq_len: int,
 def _fused_layer_kernel_v3(
     x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     g1_ref, be1_ref, w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
-    o_ref, attn_scratch,
+    o_ref, attn_scratch, nums_scratch, dens_scratch,
     *, seq_len: int, n_head: int, vpu_tail: bool = True,
+    probe: Optional[str] = None, head_group: int = 1,
 ):
     """Score-tile-streamed attention variant.
 
@@ -457,11 +579,14 @@ def _fused_layer_kernel_v3(
     g, lp, d = x_ref.shape
     x = x_ref[:]
 
-    qkv = jax.lax.dot_general(
-        x, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[:]
-    qkv = qkv.astype(x.dtype)
+    if probe == "noqkv":  # TIMING-ONLY surgery probes; see _v3_attention_core
+        qkv = jnp.concatenate([x, x, x], axis=-1)
+    else:
+        qkv = jax.lax.dot_general(
+            x, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv_ref[:]
+        qkv = qkv.astype(x.dtype)
 
     # Padded-key masking lives ENTIRELY in the augmented V operand: rows
     # >= seq_len of [v | ones] are zeroed, so padded keys contribute exactly
@@ -474,23 +599,31 @@ def _fused_layer_kernel_v3(
     # scripts/tpu_probe_mask_ops.py for the op-by-op bisection.)
     # Correctness requires the padded columns' probs to stay FINITE, which
     # holds under the same |score| < 88 bound as the rest of the kernel.
-    _v3_attention_core(qkv, x.dtype, attn_scratch, seq_len=seq_len,
-                       n_head=n_head, vpu_tail=vpu_tail)
+    _v3_attention_core(qkv, x.dtype, attn_scratch, nums_scratch, dens_scratch,
+                       seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
+                       probe=probe, head_group=head_group)
 
-    proj = jax.lax.dot_general(
-        attn_scratch[:], wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bo_ref[:]
+    if probe == "noproj":
+        proj = attn_scratch[:].astype(jnp.float32)
+    else:
+        proj = jax.lax.dot_general(
+            attn_scratch[:], wo_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[:]
     x1 = _layer_norm(proj + x.astype(jnp.float32), g1_ref[:], be1_ref[:], x.dtype)
-    hmid = jax.lax.dot_general(
-        x1, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[:]
-    hmid = jnp.maximum(hmid, 0.0).astype(x.dtype)
-    y = jax.lax.dot_general(
-        hmid, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b2_ref[:]
+    if probe == "noffn":
+        y = x1.astype(jnp.float32)
+    else:
+        hmid = jax.lax.dot_general(
+            x1, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[:]
+        hmid = jnp.maximum(hmid, 0.0).astype(x.dtype)
+        y = jax.lax.dot_general(
+            hmid, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[:]
     o_ref[:] = _layer_norm(y + x1.astype(jnp.float32), g2_ref[:], be2_ref[:],
                            o_ref.dtype)
 
@@ -606,7 +739,7 @@ def _fused_layer_kernel_v3_attn_int8(
 def _fused_layer_kernel_v3_cls(
     x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     g1_ref, be1_ref, w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
-    o_ref, attn_scratch,
+    o_ref, attn_scratch, nums_scratch, dens_scratch,
     *, seq_len: int, n_head: int, vpu_tail: bool = True,
 ):
     """v3 kernel computing ONLY the CLS row (query 0) of the layer output.
@@ -627,8 +760,8 @@ def _fused_layer_kernel_v3_cls(
     ) + bqkv_ref[:]
     qkv = qkv.astype(x.dtype)
 
-    _v3_attention_core(qkv, x.dtype, attn_scratch, seq_len=seq_len,
-                       n_head=n_head, vpu_tail=vpu_tail)
+    _v3_attention_core(qkv, x.dtype, attn_scratch, nums_scratch, dens_scratch,
+                       seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail)
 
     xr = x[:, :rq, :]
     proj = jax.lax.dot_general(
@@ -705,6 +838,11 @@ def fused_encoder_layer_v3_stack(
     layers_per_call = layers_per_call or int(os.environ.get("VITIQ_V3_LPC", "0")) or 2
     _tail_env = os.environ.get("VITIQ_V3_TAIL", "0")
     vpu_tail = "drop" if _tail_env == "drop" else _tail_env != "0"
+    # VITIQ_V3_PROBE (timing-only kernel surgery, wrong outputs):
+    # noattn | noscore | nopv | noqkv | noproj | noffn | noexp | nodiv
+    probe = os.environ.get("VITIQ_V3_PROBE") or None
+    # VITIQ_V3_HG: heads per score->exp->PV stage group (1 = head-at-a-time)
+    head_group = int(os.environ.get("VITIQ_V3_HG", "1"))
     G = g_override or _pick_batch_block_v3(Lp, D, max(
         lp_["ffn"]["linear1"]["kernel"].shape[1] for lp_ in layer_params_list
     ), x.dtype.itemsize)
@@ -759,7 +897,8 @@ def fused_encoder_layer_v3_stack(
         flat = [op for lp_ in group for op in layer_operands(lp_)]
 
         def kernel(x_ref, *rest, n_layers=len(group)):
-            weight_refs, o_ref, attn_scratch = rest[:-2], rest[-2], rest[-1]
+            weight_refs = rest[:-4]
+            o_ref, attn_scratch, nums_s, dens_s = rest[-4:]
             for c in range(n_layers):
                 src = x_ref if c == 0 else o_ref
                 if attn_int8:
@@ -771,8 +910,9 @@ def fused_encoder_layer_v3_stack(
                 else:
                     _fused_layer_kernel_v3(
                         src, *weight_refs[c * N_OPS:(c + 1) * N_OPS],
-                        o_ref, attn_scratch,
+                        o_ref, attn_scratch, nums_s, dens_s,
                         seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
+                        probe=probe, head_group=head_group,
                     )
 
         xp = pl.pallas_call(
@@ -781,7 +921,9 @@ def fused_encoder_layer_v3_stack(
             in_specs=[data_block] + [rep(o.shape) for o in flat],
             out_specs=data_block,
             out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
-            scratch_shapes=[pltpu.VMEM((G, Lp, D), x.dtype)],
+            scratch_shapes=[pltpu.VMEM((G, Lp, D), x.dtype),
+                            pltpu.VMEM((G, Lp, D), jnp.float32),
+                            pltpu.VMEM((G, Lp, n_head), jnp.float32)],
         )(xp, *flat)
 
     if cls_only:
@@ -798,7 +940,9 @@ def fused_encoder_layer_v3_stack(
             in_specs=[data_block] + [rep(o.shape) for o in flat],
             out_specs=out_block,
             out_shape=jax.ShapeDtypeStruct((Bp, rq, D), x.dtype),
-            scratch_shapes=[pltpu.VMEM((G, rq, D), x.dtype)],
+            scratch_shapes=[pltpu.VMEM((G, rq, D), x.dtype),
+                            pltpu.VMEM((G, rq, D), jnp.float32),
+                            pltpu.VMEM((G, rq, n_head), jnp.float32)],
         )(xp, *flat)
         return xp[:B, :1, :D]
     return xp[:B, :L, :D]
@@ -942,7 +1086,7 @@ def fused_encoder_layer_int8(
 def _fused_layer_kernel_v3_w8(
     x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
     g1_ref, be1_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-    g2_ref, be2_ref, o_ref, attn_scratch,
+    g2_ref, be2_ref, o_ref, attn_scratch, nums_scratch, dens_scratch,
     *, seq_len: int, n_head: int, vpu_tail: bool = True,
 ):
     """v3 attention + INT8 weight GEMMs (W8A8: per-out-channel weight scales,
@@ -964,8 +1108,8 @@ def _fused_layer_kernel_v3_w8(
 
     qkv = int8_gemm(x, wqkv_ref, sqkv_ref, bqkv_ref).astype(x.dtype)
 
-    _v3_attention_core(qkv, x.dtype, attn_scratch, seq_len=seq_len,
-                       n_head=n_head, vpu_tail=vpu_tail)
+    _v3_attention_core(qkv, x.dtype, attn_scratch, nums_scratch, dens_scratch,
+                       seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail)
 
     proj = int8_gemm(attn_scratch[:], wo_ref, so_ref, bo_ref)
     x1 = _layer_norm(proj + x.astype(jnp.float32), g1_ref[:], be1_ref[:], x.dtype)
@@ -1059,12 +1203,13 @@ def fused_encoder_layer_v3_int8_stack(
         flat = [op for ql in group for op in layer_operands(ql)]
 
         def kernel(x_ref, *rest, n_layers=len(group)):
-            weight_refs, o_ref, attn_scratch = rest[:-2], rest[-2], rest[-1]
+            weight_refs = rest[:-4]
+            o_ref, attn_scratch, nums_s, dens_s = rest[-4:]
             for c in range(n_layers):
                 src = x_ref if c == 0 else o_ref
                 _fused_layer_kernel_v3_w8(
                     src, *weight_refs[c * N_OPS:(c + 1) * N_OPS],
-                    o_ref, attn_scratch,
+                    o_ref, attn_scratch, nums_s, dens_s,
                     seq_len=seq_len, n_head=n_head,
                 )
 
@@ -1074,7 +1219,9 @@ def fused_encoder_layer_v3_int8_stack(
             in_specs=[data_block] + [rep(o.shape) for o in flat],
             out_specs=data_block,
             out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
-            scratch_shapes=[pltpu.VMEM((G, Lp, D), x.dtype)],
+            scratch_shapes=[pltpu.VMEM((G, Lp, D), x.dtype),
+                            pltpu.VMEM((G, Lp, D), jnp.float32),
+                            pltpu.VMEM((G, Lp, n_head), jnp.float32)],
         )(xp, *flat)
 
     if cls_only:
