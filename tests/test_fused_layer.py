@@ -136,6 +136,29 @@ def test_v3_vpu_tail_matches_mxu_tiles(Lx, monkeypatch):
     np.testing.assert_allclose(got_tail, got_tiles, atol=1e-4)
 
 
+@pytest.mark.parametrize("epi,Lx", [("div", 129), ("div3", 129), ("mul", 129),
+                                    ("mul2", 129), ("div2", 129), ("div3", 17),
+                                    ("mul", 200)])
+def test_v3_epilogue_variants_match_reference(epi, Lx, monkeypatch):
+    """All softmax-normalization epilogues (VITIQ_V3_EPI) must be correct.
+    The bf16-numerator variants (mul/mul2/div2) carry 2^-9 relative rounding
+    on the attention output — same class as the bf16 stream itself — so they
+    get a looser tolerance. On-chip timings in docs/BENCHMARKS.md round-2.6
+    ('div' is the measured winner and the default)."""
+    from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v3_stack
+
+    rng = np.random.default_rng(43)
+    params = L.encoder_layer_init(jax.random.PRNGKey(75), 128, 256)
+    x = jnp.asarray(rng.standard_normal((2, Lx, 128)), jnp.float32)
+    want = np.asarray(L.encoder_layer_apply(params, x, 8, 0.0, None, False,
+                                            policy=REFERENCE))
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("VITIQ_V3_EPI", epi)
+        got = np.asarray(fused_encoder_layer_v3_stack(x, [params], 8))
+    atol = 1e-4 if epi in ("div", "div3") else 6e-3
+    np.testing.assert_allclose(got, want, atol=atol)
+
+
 @pytest.mark.parametrize("hg,Lx", [(2, 129), (4, 129), (8, 129), (4, 17),
                                    (2, 200)])
 def test_v3_head_group_matches_reference(hg, Lx, monkeypatch):

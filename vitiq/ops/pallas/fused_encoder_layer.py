@@ -292,29 +292,81 @@ def fused_encoder_layer_v2_stack(
 def _wide_divide_epilogue(attn_scratch, nums_ref, dens_ref, x_dtype,
                           n_head: int, dh: int, d: int):
     """ONE [G,nq,D] divide instead of 8 narrow per-head ones: denominators
-    are expanded onto head lanes with a constant block-diag matmul; the
-    hi/lo split keeps ~f32 denominator accuracy through the bf16 MXU
-    (lo <= den*2^-9, so its rounding is ~den*2^-17)."""
+    are expanded onto head lanes with a constant block-diag matmul (f32
+    numerator scratch; see _wide_mul_epilogue for the bf16-numerator
+    variants)."""
+    den_exp = _den_expand(dens_ref[:], x_dtype, n_head, dh, d)
+    attn_scratch[:] = (nums_ref[:] / den_exp).astype(attn_scratch.dtype)
+
+
+def _den_expand(dens, x_dtype, n_head: int, dh: int, d: int):
+    """[G,nq,H] f32 -> [G,nq,D] f32 head-lane expansion via a constant
+    block-diag matmul; the hi/lo split keeps ~f32 accuracy through the bf16
+    MXU (lo <= v*2^-9, so its rounding is ~v*2^-17)."""
     hh = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 0)
     ll = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 1)
     blk_t = (ll // dh == hh).astype(x_dtype)  # [H, D]
-    dens = dens_ref[:]
     hi_p = dens.astype(x_dtype)
     lo_p = (dens - hi_p.astype(jnp.float32)).astype(x_dtype)
-    den_exp = jax.lax.dot_general(
+    return jax.lax.dot_general(
         hi_p, blk_t, dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + jax.lax.dot_general(
         lo_p, blk_t, dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [G, nq, D]
-    attn_scratch[:] = (nums_ref[:] / den_exp).astype(attn_scratch.dtype)
+
+
+def _wide_mul_epilogue(attn_scratch, nums_ref, dens_ref, x_dtype,
+                       n_head: int, dh: int, d: int, epi: str):
+    """Normalization over bf16 numerators (epilogue A/B variants; the
+    measured tables live in docs/BENCHMARKS.md round-2.6):
+
+    * "mul":  numerators were stored in place in attn_scratch; reciprocal on
+      the narrow [G,nq,H] denominators, then an in-place wide multiply.
+    * "mul2": numerators in a separate bf16 scratch; rcp + wide multiply.
+    * "div2": numerators in a separate bf16 scratch; wide divide (no rcp).
+
+    All three carry bf16 numerator rounding (2^-9 relative) — the attention
+    output is cast to bf16 immediately after anyway, so the end error class
+    is unchanged."""
+    if epi == "div2":
+        den_exp = _den_expand(dens_ref[:], x_dtype, n_head, dh, d)
+        attn_scratch[:] = (
+            nums_ref[:].astype(jnp.float32) / den_exp
+        ).astype(attn_scratch.dtype)
+        return
+    if epi == "div3":
+        # dens_ref is [G,nq,D] f32 holding [den_h, 0...] per dh-lane block
+        # (16-lane stores instead of 1-lane); expansion selects lane h*dh
+        # onto all of head h's lanes: blk3[i,j] = [i == (j//dh)*dh]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+        blk3 = (ii == (jj // dh) * dh).astype(x_dtype)  # [D, D]
+        dens = dens_ref[:]
+        hi_p = dens.astype(x_dtype)
+        lo_p = (dens - hi_p.astype(jnp.float32)).astype(x_dtype)
+        den_exp = jax.lax.dot_general(
+            hi_p, blk3, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            lo_p, blk3, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        attn_scratch[:] = (nums_ref[:] / den_exp).astype(attn_scratch.dtype)
+        return
+    rec_exp = _den_expand(1.0 / dens_ref[:], x_dtype, n_head, dh, d)
+    src = attn_scratch if epi == "mul" else nums_ref
+    attn_scratch[:] = (
+        src[:].astype(jnp.float32) * rec_exp
+    ).astype(attn_scratch.dtype)
 
 
 def _v3_attention_core(qkv, x_dtype, attn_scratch, nums_ref=None,
                        dens_ref=None, *, seq_len: int,
                        n_head: int, vpu_tail: bool = True,
-                       probe: Optional[str] = None, head_group: int = 1):
+                       probe: Optional[str] = None, head_group: int = 1,
+                       epi: str = "div"):
     """Score-tile-streamed attention shared by the v3 kernels.
 
     qkv: [G, Lp, 3D] with the q section pre-scaled by softmax_scale*log2(e)
@@ -471,20 +523,35 @@ def _v3_attention_core(qkv, x_dtype, attn_scratch, nums_ref=None,
         elif probe == "nodiv":
             attn_scratch[:, :, h * dh:(h + 1) * dh] = (
                 acc[:, :, :dh]).astype(attn_scratch.dtype)
-        elif nums_ref is None:
+        elif dens_ref is None:
             # legacy epilogue: per-head narrow f32 divide — measured 17.5 ms
             # over 6 flagship layers (nodiv probe 69.6 vs 87.1 baseline)
             attn_scratch[:, :, h * dh:(h + 1) * dh] = (
                 acc[:, :, :dh] / acc[:, :, dh:dh + 1]).astype(attn_scratch.dtype)
-        else:
+        elif epi == "mul":
+            # bf16 numerators go straight into attn_scratch; normalized in
+            # place by _wide_mul_epilogue (no separate nums round trip)
+            attn_scratch[:, :, h * dh:(h + 1) * dh] = (
+                acc[:, :, :dh]).astype(attn_scratch.dtype)
+            dens_ref[:, :, h:h + 1] = acc[:, :, dh:dh + 1]
+        elif epi == "div3":
             nums_ref[:, :, h * dh:(h + 1) * dh] = acc[:, :, :dh]
+            # full 16-lane store of [den, 0, ...] instead of a 1-lane store
+            dens_ref[:, :, h * dh:(h + 1) * dh] = acc[:, :, dh:2 * dh]
+        else:
+            nums_ref[:, :, h * dh:(h + 1) * dh] = (
+                acc[:, :, :dh]).astype(nums_ref.dtype)
             dens_ref[:, :, h:h + 1] = acc[:, :, dh:dh + 1]
 
-    if not n_tail and probe != "nodiv" and nums_ref is not None:
+    if not n_tail and probe != "nodiv" and dens_ref is not None:
         # The 8 per-head [G,nq,16]/[G,nq,1] divides measured 2.9 ms/layer
-        # (nodiv probe); one wide divide replaces them.
-        _wide_divide_epilogue(attn_scratch, nums_ref, dens_ref, x_dtype,
-                              n_head, dh, d)
+        # (nodiv probe); one wide op replaces them.
+        if epi == "div":
+            _wide_divide_epilogue(attn_scratch, nums_ref, dens_ref, x_dtype,
+                                  n_head, dh, d)
+        else:
+            _wide_mul_epilogue(attn_scratch, nums_ref, dens_ref, x_dtype,
+                               n_head, dh, d, epi)
 
     if n_tail:
         # Packed cross-head tail: ALL heads' tail-key contributions ride in
@@ -548,6 +615,7 @@ def _fused_layer_kernel_v3(
     o_ref, attn_scratch, nums_scratch, dens_scratch,
     *, seq_len: int, n_head: int, vpu_tail: bool = True,
     probe: Optional[str] = None, head_group: int = 1,
+    epi: str = "div",
 ):
     """Score-tile-streamed attention variant.
 
@@ -601,7 +669,7 @@ def _fused_layer_kernel_v3(
     # holds under the same |score| < 88 bound as the rest of the kernel.
     _v3_attention_core(qkv, x.dtype, attn_scratch, nums_scratch, dens_scratch,
                        seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
-                       probe=probe, head_group=head_group)
+                       probe=probe, head_group=head_group, epi=epi)
 
     if probe == "noproj":
         proj = attn_scratch[:].astype(jnp.float32)
@@ -740,7 +808,7 @@ def _fused_layer_kernel_v3_cls(
     x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     g1_ref, be1_ref, w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
     o_ref, attn_scratch, nums_scratch, dens_scratch,
-    *, seq_len: int, n_head: int, vpu_tail: bool = True,
+    *, seq_len: int, n_head: int, vpu_tail: bool = True, epi: str = "div",
 ):
     """v3 kernel computing ONLY the CLS row (query 0) of the layer output.
 
@@ -761,7 +829,8 @@ def _fused_layer_kernel_v3_cls(
     qkv = qkv.astype(x.dtype)
 
     _v3_attention_core(qkv, x.dtype, attn_scratch, nums_scratch, dens_scratch,
-                       seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail)
+                       seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
+                       epi=epi)
 
     xr = x[:, :rq, :]
     proj = jax.lax.dot_general(
@@ -841,8 +910,21 @@ def fused_encoder_layer_v3_stack(
     # VITIQ_V3_PROBE (timing-only kernel surgery, wrong outputs):
     # noattn | noscore | nopv | noqkv | noproj | noffn | noexp | nodiv
     probe = os.environ.get("VITIQ_V3_PROBE") or None
-    # VITIQ_V3_HG: heads per score->exp->PV stage group (1 = head-at-a-time)
+    # VITIQ_V3_HG: heads per score->exp->PV stage group (1 = head-at-a-time).
+    # MEASURED LOSS on v5e (layers3 87.2/89.8/86.1 ms for HG=2/4/8 vs 84.4
+    # ungrouped): Mosaic already software-pipelines the per-head chains;
+    # grouping only adds concatenate traffic. Kept as the record.
     head_group = int(os.environ.get("VITIQ_V3_HG", "1"))
+    # VITIQ_V3_EPI: softmax normalization epilogue — "mul" (bf16 numerators
+    # in place + reciprocal multiply) or "div" (f32 numerator scratch + wide
+    # divide)
+    epi = os.environ.get("VITIQ_V3_EPI", "div")
+    if head_group > 1:
+        epi = "div"  # the grouped path only implements the div epilogue
+    # bf16-numerator variants store numerators at the stream dtype; div3
+    # keeps f32 nums but widens the denominator store to dh lanes
+    nums_dtype = x.dtype if epi in ("div2", "mul2") else jnp.float32
+    dens_width = D if epi == "div3" else n_head
     G = g_override or _pick_batch_block_v3(Lp, D, max(
         lp_["ffn"]["linear1"]["kernel"].shape[1] for lp_ in layer_params_list
     ), x.dtype.itemsize)
@@ -912,7 +994,7 @@ def fused_encoder_layer_v3_stack(
                         src, *weight_refs[c * N_OPS:(c + 1) * N_OPS],
                         o_ref, attn_scratch, nums_s, dens_s,
                         seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
-                        probe=probe, head_group=head_group,
+                        probe=probe, head_group=head_group, epi=epi,
                     )
 
         xp = pl.pallas_call(
@@ -922,8 +1004,8 @@ def fused_encoder_layer_v3_stack(
             out_specs=data_block,
             out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
             scratch_shapes=[pltpu.VMEM((G, Lp, D), x.dtype),
-                            pltpu.VMEM((G, Lp, D), jnp.float32),
-                            pltpu.VMEM((G, Lp, n_head), jnp.float32)],
+                            pltpu.VMEM((G, Lp, D), nums_dtype),
+                            pltpu.VMEM((G, Lp, dens_width), jnp.float32)],
         )(xp, *flat)
 
     if cls_only:
@@ -931,7 +1013,7 @@ def fused_encoder_layer_v3_stack(
         flat = layer_operands(layer_params_list[-1])
         cls_kernel = functools.partial(
             _fused_layer_kernel_v3_cls, seq_len=seq_len, n_head=n_head,
-            vpu_tail=vpu_tail)
+            vpu_tail=vpu_tail, epi=epi)
         out_block = pl.BlockSpec((G, rq, D), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
         xp = pl.pallas_call(
@@ -941,8 +1023,8 @@ def fused_encoder_layer_v3_stack(
             out_specs=out_block,
             out_shape=jax.ShapeDtypeStruct((Bp, rq, D), x.dtype),
             scratch_shapes=[pltpu.VMEM((G, rq, D), x.dtype),
-                            pltpu.VMEM((G, rq, D), jnp.float32),
-                            pltpu.VMEM((G, rq, n_head), jnp.float32)],
+                            pltpu.VMEM((G, rq, D), nums_dtype),
+                            pltpu.VMEM((G, rq, dens_width), jnp.float32)],
         )(xp, *flat)
         return xp[:B, :1, :D]
     return xp[:B, :L, :D]
@@ -1087,7 +1169,7 @@ def _fused_layer_kernel_v3_w8(
     x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
     g1_ref, be1_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     g2_ref, be2_ref, o_ref, attn_scratch, nums_scratch, dens_scratch,
-    *, seq_len: int, n_head: int, vpu_tail: bool = True,
+    *, seq_len: int, n_head: int, vpu_tail: bool = True, epi: str = "div",
 ):
     """v3 attention + INT8 weight GEMMs (W8A8: per-out-channel weight scales,
     dynamic per-row activation scales). The attention core stays the bf16 v3
@@ -1109,7 +1191,8 @@ def _fused_layer_kernel_v3_w8(
     qkv = int8_gemm(x, wqkv_ref, sqkv_ref, bqkv_ref).astype(x.dtype)
 
     _v3_attention_core(qkv, x.dtype, attn_scratch, nums_scratch, dens_scratch,
-                       seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail)
+                       seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
+                       epi=epi)
 
     proj = int8_gemm(attn_scratch[:], wo_ref, so_ref, bo_ref)
     x1 = _layer_norm(proj + x.astype(jnp.float32), g1_ref[:], be1_ref[:], x.dtype)
