@@ -74,6 +74,19 @@ def main() -> int:
         def fn(p, xi):
             t = jnp.tile(xi[:, :129, 0:1], (1, 1, 128)).astype(jnp.bfloat16)
             return fused_encoder_layer_v3_stack(t, layer_list, 8)
+    elif variant == "layersL":
+        # 6 fused layers at conv1d length (1025 tokens): isolates the
+        # long-sequence encoder cost from embedding/head glue. Honors
+        # VITIQ_V3_* env knobs incl. surgery probes.
+        from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v3_stack
+
+        params = init_amc_params(jax.random.PRNGKey(0), cfg)
+        layer_list = params["encoder"]["layers"]
+
+        def fn(p, xi):
+            t = jnp.tile(xi[:, :1024, 0:1], (1, 1, 128)).astype(jnp.bfloat16)
+            t = jnp.concatenate([t[:, :1, :], t], axis=1)  # [B, 1025, 128]
+            return fused_encoder_layer_v3_stack(t, layer_list, 8)
     elif variant == "layers":
         # 6 fused layers on a pre-embedded token stream: isolates the encoder
         # from the patchify/PE/head glue

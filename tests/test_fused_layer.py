@@ -257,6 +257,52 @@ class TestSoftmaxBoundGuard:
             check_softmax_bound(params, cfg, strict=True)
 
 
+@pytest.mark.parametrize("Lx,n_head,tq", [
+    (300, 8, 128),   # padded tail tile (300 -> 384), 3 q-tiles
+    (256, 4, 128),   # exact multiple, no padding
+    (129, 8, 64),    # flagship length through the long path (tiny TQ)
+])
+def test_v4long_stack_matches_reference_layers(Lx, n_head, tq, monkeypatch):
+    """The query-tiled long-sequence stack (XLA QKV GEMM + per-query-tile
+    Pallas layer tail) == unfused reference layers. Covers padded query/key
+    rows, multiple query tiles, and the q_sec core mode."""
+    from vitiq.ops.pallas.fused_encoder_layer import (
+        fused_encoder_layer_v4long_stack,
+    )
+
+    monkeypatch.setenv("VITIQ_V4_TQ", str(tq))
+    rng = np.random.default_rng(47)
+    p1 = L.encoder_layer_init(jax.random.PRNGKey(80), 128, 256)
+    p2 = L.encoder_layer_init(jax.random.PRNGKey(81), 128, 256)
+    x = jnp.asarray(rng.standard_normal((2, Lx, 128)), jnp.float32)
+    ref = L.encoder_layer_apply(p1, x, n_head, 0.0, None, False, policy=REFERENCE)
+    ref = np.asarray(L.encoder_layer_apply(p2, ref, n_head, 0.0, None, False,
+                                           policy=REFERENCE))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_encoder_layer_v4long_stack(x, [p1, p2], n_head))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_v4long_cls_only_matches_full(monkeypatch):
+    """cls_only through the long stack (v4long body + v3 CLS tail) must
+    reproduce token 0 of the full long stack."""
+    from vitiq.ops.pallas.fused_encoder_layer import (
+        fused_encoder_layer_v4long_stack,
+    )
+
+    monkeypatch.setenv("VITIQ_V4_TQ", "128")
+    rng = np.random.default_rng(48)
+    p1 = L.encoder_layer_init(jax.random.PRNGKey(82), 128, 256)
+    p2 = L.encoder_layer_init(jax.random.PRNGKey(83), 128, 256)
+    x = jnp.asarray(rng.standard_normal((2, 300, 128)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        full = np.asarray(fused_encoder_layer_v4long_stack(x, [p1, p2], 8))
+        cls = np.asarray(fused_encoder_layer_v4long_stack(x, [p1, p2], 8,
+                                                          cls_only=True))
+    assert cls.shape == (2, 1, 128)
+    np.testing.assert_allclose(cls[:, 0], full[:, 0], atol=2e-5)
+
+
 @pytest.mark.parametrize("Lx,n_head", [(17, 4), (129, 8)])
 def test_v3_cls_only_matches_full_stack_token0(Lx, n_head):
     """cls_only=True must reproduce token 0 of the full stack exactly

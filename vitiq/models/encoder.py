@@ -148,6 +148,21 @@ def encoder_apply(
             return fused_encoder_layer_v2_stack(
                 policy.cast_compute(x), params["layers"], cfg.n_head
             )
+        if (x.shape[1] > 512 and not os.environ.get("VITIQ_ATTN_INT8") == "1"
+                and os.environ.get("VITIQ_LONGSEQ", "1") != "0"):
+            # conv1d-length sequences: the all-rows v3 kernel degrades to
+            # batch block G=1 (5.5K frames/s); the query-tiled long stack
+            # runs the QKV GEMM in XLA and tiles everything else over
+            # query rows (docs/BENCHMARKS.md round-2 conv1d row)
+            from vitiq.ops.pallas.fused_encoder_layer import (
+                fused_encoder_layer_v4long_stack,
+            )
+
+            return fused_encoder_layer_v4long_stack(
+                policy.cast_compute(x), params["layers"], cfg.n_head,
+                cls_only=cls_only_fused
+                and os.environ.get("VITIQ_CLS_ONLY", "1") != "0",
+            )
         return fused_encoder_layer_v3_stack(
             policy.cast_compute(x), params["layers"], cfg.n_head,
             attn_int8=os.environ.get("VITIQ_ATTN_INT8") == "1",

@@ -366,13 +366,16 @@ def _v3_attention_core(qkv, x_dtype, attn_scratch, nums_ref=None,
                        dens_ref=None, *, seq_len: int,
                        n_head: int, vpu_tail: bool = True,
                        probe: Optional[str] = None, head_group: int = 1,
-                       epi: str = "div"):
+                       epi: str = "div", q_sec=None):
     """Score-tile-streamed attention shared by the v3 kernels.
 
     qkv: [G, Lp, 3D] with the q section pre-scaled by softmax_scale*log2(e)
     (host fold). Writes the NORMALIZED per-head attention outputs into
     attn_scratch [G, nq, D], where nq = Lp for the full kernels or 8 for the
-    CLS-only kernel (query rows are always the first nq rows).
+    CLS-only kernel (query rows are always the first nq rows). With `q_sec`
+    ([G, nq, D], pre-scaled), queries come from that array instead of
+    qkv[:, :nq, :D] — the long-sequence kernel passes an arbitrary query
+    TILE against the full key/value stream this way.
 
     Key-coverage strategy (the round-2.5 addition): MXU pass count scales
     with M-tiles x N-tiles, so a remainder score tile of width 16 costs the
@@ -388,6 +391,7 @@ def _v3_attention_core(qkv, x_dtype, attn_scratch, nums_ref=None,
     d = d3 // 3
     dh = d // n_head
     nq = attn_scratch.shape[1]
+    qsrc = qkv[:, :, :d] if q_sec is None else q_sec
 
     # TIMING-ONLY surgery probes (wrong outputs; VITIQ_V3_PROBE):
     #   noattn  — skip scores/softmax/PV entirely (attn := v)
@@ -433,7 +437,7 @@ def _v3_attention_core(qkv, x_dtype, attn_scratch, nums_ref=None,
         rem = lp - full_k
         qs_, ks_, vaugs = [], [], []
         for h in range(n_head):
-            q = qkv[:, :nq, h * dh:(h + 1) * dh]
+            q = qsrc[:, :nq, h * dh:(h + 1) * dh]
             k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
             v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
             if v_mask is not None:
@@ -485,7 +489,7 @@ def _v3_attention_core(qkv, x_dtype, attn_scratch, nums_ref=None,
 
     accs = []
     for h in range(n_head):
-        q = qkv[:, :nq, h * dh:(h + 1) * dh]
+        q = qsrc[:, :nq, h * dh:(h + 1) * dh]
         k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
         v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
         if v_mask is not None:
@@ -580,7 +584,7 @@ def _v3_attention_core(qkv, x_dtype, attn_scratch, nums_ref=None,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
 
-        q_all = qkv[:, :nq, :d]
+        q_all = qsrc[:, :nq, :]
         corr = None
         pacc = None
         for j in range(n_tail):
@@ -1028,6 +1032,162 @@ def fused_encoder_layer_v3_stack(
         )(xp, *flat)
         return xp[:B, :1, :D]
     return xp[:B, :L, :D]
+
+
+def _fused_layer_kernel_v4long(
+    x_ref, qq_ref, kv_ref, wo_ref, bo_ref,
+    g1_ref, be1_ref, w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
+    o_ref, attn_scratch, nums_scratch, dens_scratch,
+    *, seq_len: int, n_head: int, epi: str = "div",
+):
+    """Query-tiled layer kernel for LONG sequences (rawIQ conv1d, 1025
+    tokens — ref: transformer_rawIQ/models/encoder.py:34-41).
+
+    At Lp ~1040 the all-rows v3 kernel degrades to batch block G=1 and
+    5.5K frames/s. Here the QKV GEMM runs OUTSIDE in XLA (a [B*L, D] x
+    [D, 3D] GEMM XLA already runs at high MFU) and the kernel processes one
+    [G, TQ, D] query-row tile per grid step against the full key/value
+    stream: attention (v3 core, q_sec mode) + projection + post-norms + FFN
+    are all row-local, so everything after the QKV GEMM tiles freely over
+    queries. kv_ref carries the full [G, Lp, 3D] qkv block (constant over
+    the inner query-tile grid axis, so Pallas DMAs it once per batch block);
+    qq_ref is the same array's q section for this tile (lane-blocked spec).
+    """
+    g, tq, d = x_ref.shape
+    x = x_ref[:]
+
+    _v3_attention_core(kv_ref[:], x.dtype, attn_scratch, nums_scratch,
+                       dens_scratch, seq_len=seq_len, n_head=n_head,
+                       vpu_tail=False, epi=epi, q_sec=qq_ref[:])
+
+    proj = jax.lax.dot_general(
+        attn_scratch[:], wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[:]
+    x1 = _layer_norm(proj + x.astype(jnp.float32), g1_ref[:], be1_ref[:], x.dtype)
+    hmid = jax.lax.dot_general(
+        x1, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:]
+    hmid = jnp.maximum(hmid, 0.0).astype(x.dtype)
+    y = jax.lax.dot_general(
+        hmid, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:]
+    o_ref[:] = _layer_norm(y + x1.astype(jnp.float32), g2_ref[:], be2_ref[:],
+                           o_ref.dtype)
+
+
+def fused_encoder_layer_v4long_stack(
+    x: jnp.ndarray,
+    layer_params_list,
+    n_head: int,
+    seq_len: Optional[int] = None,
+    cls_only: bool = False,
+) -> jnp.ndarray:
+    """Long-sequence stack: XLA QKV GEMM + query-tiled Pallas layer tail.
+
+    Used automatically by the encoder for L > 512 (the conv1d mode); the
+    v3 stack keeps short sequences. With cls_only, the final layer runs the
+    existing v3 CLS-only kernel (single query-row tile)."""
+    import os
+
+    B, L, D = x.shape
+    seq_len = L if seq_len is None else seq_len
+    TQ = int(os.environ.get("VITIQ_V4_TQ", "128"))
+    Lp = _round_up(L, TQ)
+    G = int(os.environ.get("VITIQ_V4_G", "0")) or _pick_batch_block_v4long(
+        Lp, D, max(lp_["ffn"]["linear1"]["kernel"].shape[1]
+                   for lp_ in layer_params_list), x.dtype.itemsize, TQ)
+    Bp = _round_up(B, G)
+    epi = os.environ.get("VITIQ_V3_EPI", "div")
+    if epi not in ("div", "div2", "div3", "mul", "mul2"):
+        epi = "div"
+    nums_dtype = x.dtype if epi in ("div2", "mul2") else jnp.float32
+    dens_width = D if epi == "div3" else n_head
+
+    xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
+    scale = _LOG2E / ((D // n_head) ** 0.5)
+
+    x_block = pl.BlockSpec((G, TQ, D), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    # same qkv array twice: lane-block 0 of a (G, TQ, D)-partition is the
+    # (pre-scaled) q section for tile j; the (G, Lp, 3D) view is the full
+    # key/value stream, constant over j so it is DMA'd once per batch block
+    qq_block = pl.BlockSpec((G, TQ, D), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    kv_block = pl.BlockSpec((G, Lp, 3 * D), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def rep(shape):
+        index_map = lambda i, j: tuple(0 for _ in shape)
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    full_layers = layer_params_list[:-1] if cls_only else layer_params_list
+    for lp_ in full_layers:
+        ap = lp_["attention"]
+        wqkv = jnp.concatenate([
+            ap["w_q"]["kernel"].astype(jnp.float32) * scale,
+            ap["w_k"]["kernel"].astype(jnp.float32),
+            ap["w_v"]["kernel"].astype(jnp.float32),
+        ], axis=1).astype(x.dtype)
+        bqkv = jnp.concatenate([
+            ap["w_q"]["bias"].astype(jnp.float32) * scale,
+            ap["w_k"]["bias"].astype(jnp.float32),
+            ap["w_v"]["bias"].astype(jnp.float32),
+        ])
+        qkv = (jax.lax.dot_general(
+            xp, wqkv, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv).astype(x.dtype)  # [Bp, Lp, 3D] — XLA GEMM at full MFU
+        ops = [
+            ap["w_concat"]["kernel"].astype(x.dtype),
+            ap["w_concat"]["bias"].astype(jnp.float32),
+            lp_["norm1"]["gamma"].astype(jnp.float32),
+            lp_["norm1"]["beta"].astype(jnp.float32),
+            lp_["ffn"]["linear1"]["kernel"].astype(x.dtype),
+            lp_["ffn"]["linear1"]["bias"].astype(jnp.float32),
+            lp_["ffn"]["linear2"]["kernel"].astype(x.dtype),
+            lp_["ffn"]["linear2"]["bias"].astype(jnp.float32),
+            lp_["norm2"]["gamma"].astype(jnp.float32),
+            lp_["norm2"]["beta"].astype(jnp.float32),
+        ]
+        kernel = functools.partial(_fused_layer_kernel_v4long,
+                                   seq_len=seq_len, n_head=n_head, epi=epi)
+        xp = pl.pallas_call(
+            kernel,
+            grid=(Bp // G, Lp // TQ),
+            in_specs=[x_block, qq_block, kv_block] + [rep(o.shape) for o in ops],
+            out_specs=pl.BlockSpec((G, TQ, D), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
+            scratch_shapes=[pltpu.VMEM((G, TQ, D), x.dtype),
+                            pltpu.VMEM((G, TQ, D), nums_dtype),
+                            pltpu.VMEM((G, TQ, dens_width), jnp.float32)],
+        )(xp, qkv, qkv, *ops)
+
+    if cls_only:
+        return fused_encoder_layer_v3_stack(
+            xp[:B, :L, :D], [layer_params_list[-1]], n_head,
+            seq_len=seq_len, cls_only=True)
+    return xp[:B, :L, :D]
+
+
+def _pick_batch_block_v4long(Lp: int, D: int, H: int, itemsize: int,
+                             tq: int) -> int:
+    """The dominant VMEM tenant is the double-buffered full-sequence qkv
+    block (G * Lp * 3D); everything else is TQ-row-local."""
+    for g in (8, 4, 2, 1):
+        vmem = (
+            2 * g * Lp * 3 * D * itemsize      # kv view, double-buffered
+            + 2 * 3 * g * tq * D * itemsize    # x/qq/out blocks (2 buf)
+            + g * tq * D * (itemsize + 4 + 4)  # attn + nums + score tile
+            + 2 * g * tq * H * itemsize        # ffn hidden
+            + 3 * g * tq * D * 4               # f32 LN temps
+        )
+        if vmem <= 10 * 1024 * 1024:
+            return g
+    return 1
 
 
 def _row_quant(t):

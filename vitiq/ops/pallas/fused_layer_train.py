@@ -188,8 +188,7 @@ def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
             corr = c if corr is None else corr + c
             pacc = p_all if pacc is None else pacc + p_all
 
-    outs = []
-    heads = []
+    outs_u, denoms = [], []
     for h in range(n_head):
         acc = accs[h]
         out_u = acc[:, :, :dh]
@@ -197,11 +196,47 @@ def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
         if n_tail:
             out_u = out_u + corr[:, :, h * dh:(h + 1) * dh]
             denom = denom + pacc[:, :, h:h + 1]
-        out = out_u / denom
+        outs_u.append(out_u)
+        denoms.append(denom)
+
+    import os
+
+    # measured on chip (batch 2048): wide 53.2/150.1 ms fwd/step vs head
+    # 56.1/157.3 — the serving kernel's wide-divide win carries over
+    if os.environ.get("VITIQ_TRAIN_EPI", "wide") == "wide":
+        # ONE wide [G,Lp,D] divide instead of 8 narrow per-head ones —
+        # the serving kernel's measured win (docs/BENCHMARKS.md round-2.6):
+        # denominators expanded onto head lanes via a constant block-diag
+        # matmul with an f32-accurate hi/lo split.
+        hh = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 0)
+        ll = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 1)
+        blk_t = (ll // dh == hh).astype(x_dtype)  # [H, D]
+        dens = jnp.concatenate(denoms, axis=-1)  # [G, Lp, H] f32
+        hi_p = dens.astype(x_dtype)
+        lo_p = (dens - hi_p.astype(jnp.float32)).astype(x_dtype)
+        den_exp = jax.lax.dot_general(
+            hi_p, blk_t, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            lo_p, blk_t, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        attn32 = jnp.concatenate(outs_u, axis=-1) / den_exp  # [G, Lp, D]
+        attn = attn32.astype(x_dtype)
+        if not want_residuals:
+            return attn, None
+        heads = [(qkvs[h][0], qkvs[h][1], qkvs[h][2], denoms[h],
+                  attn32[:, :, h * dh:(h + 1) * dh]) for h in range(n_head)]
+        return attn, heads
+
+    outs = []
+    heads = []
+    for h in range(n_head):
+        out = outs_u[h] / denoms[h]
         outs.append(out.astype(x_dtype))
         if want_residuals:
             qs, k, v = qkvs[h]
-            heads.append((qs, k, v, denom, out))
+            heads.append((qs, k, v, denoms[h], out))
     attn = jnp.concatenate(outs, axis=-1)
     return (attn, heads) if want_residuals else (attn, None)
 
@@ -234,7 +269,7 @@ def _fwd_kernel(
         # prng_seed supports at most 2 seed words (Mosaic: 'Setting seed
         # with more than 2 values is not supported') — fold the layer
         # index into the first word
-        pltpu.prng_seed(seed_ref[0] + layer_idx * np.int32(0x9E3779B9 & 0x7FFFFFFF),
+        pltpu.prng_seed(seed_ref[0] + np.int32((layer_idx * 0x1E3779B9) & 0x7FFFFFFF),
                         pl.program_id(0))
         a = a * _dropout_mask(a.shape, drop)
     z1 = a + x.astype(jnp.float32)
@@ -296,7 +331,7 @@ def _bwd_kernel(
         # prng_seed supports at most 2 seed words (Mosaic: 'Setting seed
         # with more than 2 values is not supported') — fold the layer
         # index into the first word
-        pltpu.prng_seed(seed_ref[0] + layer_idx * np.int32(0x9E3779B9 & 0x7FFFFFFF),
+        pltpu.prng_seed(seed_ref[0] + np.int32((layer_idx * 0x1E3779B9) & 0x7FFFFFFF),
                         pl.program_id(0))
         m1 = _dropout_mask(a.shape, drop)
         a = a * m1
