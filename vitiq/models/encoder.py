@@ -149,11 +149,15 @@ def encoder_apply(
                 policy.cast_compute(x), params["layers"], cfg.n_head
             )
         if (x.shape[1] > 512 and not os.environ.get("VITIQ_ATTN_INT8") == "1"
-                and os.environ.get("VITIQ_LONGSEQ", "1") != "0"):
-            # conv1d-length sequences: the all-rows v3 kernel degrades to
-            # batch block G=1 (5.5K frames/s); the query-tiled long stack
-            # runs the QKV GEMM in XLA and tiles everything else over
-            # query rows (docs/BENCHMARKS.md round-2 conv1d row)
+                and os.environ.get("VITIQ_LONGSEQ", "0") == "1"):
+            # OPT-IN (VITIQ_LONGSEQ=1): query-tiled long-sequence stack —
+            # QKV GEMM in XLA, everything else tiled over query rows.
+            # MEASURED LOSS on conv1d (1025 tokens, v5e): 4.5K/5.2K frames/s
+            # at TQ=128/576 vs the all-rows v3 kernel's 5.5K; TQ=384 OOMs
+            # scoped VMEM. The long-seq wall is the same d_head=16 per-head
+            # serialization, ~8x the flagship's chain length — query tiling
+            # doesn't change it (docs/BENCHMARKS.md round-2.6). Kept gated +
+            # interpret-tested as the record.
             from vitiq.ops.pallas.fused_encoder_layer import (
                 fused_encoder_layer_v4long_stack,
             )

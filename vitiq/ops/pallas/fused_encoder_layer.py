@@ -1176,7 +1176,9 @@ def fused_encoder_layer_v4long_stack(
 def _pick_batch_block_v4long(Lp: int, D: int, H: int, itemsize: int,
                              tq: int) -> int:
     """The dominant VMEM tenant is the double-buffered full-sequence qkv
-    block (G * Lp * 3D); everything else is TQ-row-local."""
+    block (G * Lp * 3D); everything else is TQ-row-local. Budget is 6 MB —
+    measured: the 10 MB budget OOM'd the 16 MB scoped-VMEM stack at TQ=384
+    (in-kernel per-head slices/probs/accs roughly double the estimate)."""
     for g in (8, 4, 2, 1):
         vmem = (
             2 * g * Lp * 3 * D * itemsize      # kv view, double-buffered
@@ -1185,7 +1187,7 @@ def _pick_batch_block_v4long(Lp: int, D: int, H: int, itemsize: int,
             + 2 * g * tq * H * itemsize        # ffn hidden
             + 3 * g * tq * D * 4               # f32 LN temps
         )
-        if vmem <= 10 * 1024 * 1024:
+        if vmem <= 6 * 1024 * 1024:
             return g
     return 1
 
