@@ -27,7 +27,7 @@ from vitiq.dsp.timing import (  # noqa: F401
 from vitiq.dsp.frontend import (  # noqa: F401
     apply_normalization,
     extract_symbols,
-    preprocess_batch_amplitude_phase,
+    preprocess_batch_amplitude_phase, preprocess_batch_mdf,
     preprocess_batch_rawiq,
     preprocess_batch_vit,
     preprocess_for_transformer,

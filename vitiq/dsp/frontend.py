@@ -221,8 +221,8 @@ def preprocess_batch_mdf(x: jnp.ndarray, H: int = 32, W: int = 32):
 
     L must equal H*W (1024 = 32x32 in the notebook). The notebook's CNN-LSTM
     consumer (`CNN_LSTM_new.create_multi_domain_model`) is missing from the
-    reference tree (SURVEY.md §2.7) and is out of scope; the transform itself
-    is offered so the shared encoder (or external models) can consume it.
+    reference tree (SURVEY.md §2.7); a capability-equivalent reconstruction
+    of its contract lives in `vitiq.models.mdf`.
     """
     B, L, _ = x.shape
     if L != H * W:
