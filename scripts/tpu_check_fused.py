@@ -2,10 +2,12 @@
 """On-TPU correctness spot-check: the fused-layer bf16 inference path vs the
 reference f32 path. Run on a TPU backend.
 
-Usage: python scripts/tpu_check_fused.py [vit|conv1d] [batch]
+Usage: python scripts/tpu_check_fused.py [vit|conv1d|rawiq] [batch]
   vit     — flagship ViT d128/L6 (129 tokens), default
   conv1d  — rawIQ conv1d mode (1025 tokens, ref:
             transformer_rawIQ/models/encoder.py:34-41)
+  rawiq   — rawIQ segment-16 (65 tokens, Lp=80 — exercises the
+            batch-packed attention tile, VITIQ_V3_PACK auto)
 """
 import pathlib
 import sys
@@ -35,6 +37,12 @@ def main() -> int:
             ffn_hidden=1024, drop_prob=0.2, embedding_type="conv1d",
             seq_length=1024, numerics=numerics)
         cfg_tpu, cfg_ref = mk("tpu"), mk("reference")
+        pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
+    elif which == "rawiq":
+        from vitiq.bench import flagship_rawiq_config
+
+        cfg_tpu = flagship_rawiq_config("tpu")
+        cfg_ref = flagship_rawiq_config("reference")
         pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
     else:
         cfg_tpu = flagship_vit_config("tpu")

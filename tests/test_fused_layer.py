@@ -136,6 +136,53 @@ def test_v3_vpu_tail_matches_mxu_tiles(Lx, monkeypatch):
     np.testing.assert_allclose(got_tail, got_tiles, atol=1e-4)
 
 
+@pytest.mark.parametrize("Lx,n_head,p", [
+    (65, 8, 2),    # rawIQ segment-16 shape: Lp=80, packed pairs
+    (17, 4, 4),    # segment-64 shape: Lp=32, 4 frames fill one 128 tile
+    (64, 8, 2),    # seq_len == elem_len (no padded rows inside a frame)
+    (65, 8, 3),    # pack that doesn't divide 128 (160*1.5): odd P
+])
+def test_v3_batch_packed_matches_unpacked(Lx, n_head, p, monkeypatch):
+    """VITIQ_V3_PACK>1 rides several frames in one attention tile with a
+    block-diagonal probability mask; must match the unpacked stack and the
+    unfused reference exactly (incl. a batch that is not a multiple of P)."""
+    from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v3_stack
+
+    rng = np.random.default_rng(53)
+    p1 = L.encoder_layer_init(jax.random.PRNGKey(90), 128, 256)
+    p2 = L.encoder_layer_init(jax.random.PRNGKey(91), 128, 256)
+    x = jnp.asarray(rng.standard_normal((3, Lx, 128)), jnp.float32)
+    ref = L.encoder_layer_apply(p1, x, n_head, 0.0, None, False, policy=REFERENCE)
+    ref = np.asarray(L.encoder_layer_apply(p2, ref, n_head, 0.0, None, False,
+                                           policy=REFERENCE))
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("VITIQ_V3_PACK", str(p))
+        got = np.asarray(fused_encoder_layer_v3_stack(x, [p1, p2], n_head))
+        monkeypatch.setenv("VITIQ_V3_PACK", "0")
+        got_unpacked = np.asarray(
+            fused_encoder_layer_v3_stack(x, [p1, p2], n_head))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    np.testing.assert_allclose(got, got_unpacked, atol=1e-5)
+
+
+def test_v3_batch_packed_cls_only(monkeypatch):
+    """Packing + CLS-only last layer (the rawIQ serving path) must match
+    token 0 of the full packed stack."""
+    from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v3_stack
+
+    rng = np.random.default_rng(54)
+    p1 = L.encoder_layer_init(jax.random.PRNGKey(92), 128, 256)
+    p2 = L.encoder_layer_init(jax.random.PRNGKey(93), 128, 256)
+    x = jnp.asarray(rng.standard_normal((3, 65, 128)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("VITIQ_V3_PACK", "2")
+        full = np.asarray(fused_encoder_layer_v3_stack(x, [p1, p2], 8))
+        cls = np.asarray(fused_encoder_layer_v3_stack(x, [p1, p2], 8,
+                                                      cls_only=True))
+    assert cls.shape == (3, 1, 128)
+    np.testing.assert_allclose(cls[:, 0], full[:, 0], atol=2e-5)
+
+
 @pytest.mark.parametrize("epi,Lx", [("div", 129), ("div3", 129), ("mul", 129),
                                     ("mul2", 129), ("div2", 129), ("div3", 17),
                                     ("mul", 200)])

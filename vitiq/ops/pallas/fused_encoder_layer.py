@@ -366,7 +366,7 @@ def _v3_attention_core(qkv, x_dtype, attn_scratch, nums_ref=None,
                        dens_ref=None, *, seq_len: int,
                        n_head: int, vpu_tail: bool = True,
                        probe: Optional[str] = None, head_group: int = 1,
-                       epi: str = "div", q_sec=None):
+                       epi: str = "div", q_sec=None, pack: int = 1):
     """Score-tile-streamed attention shared by the v3 kernels.
 
     qkv: [G, Lp, 3D] with the q section pre-scaled by softmax_scale*log2(e)
@@ -402,7 +402,7 @@ def _v3_attention_core(qkv, x_dtype, attn_scratch, nums_ref=None,
         return
 
     mxu_k = (lp // 128) * 128
-    use_tail = (vpu_tail and mxu_k >= 128 and mxu_k <= seq_len
+    use_tail = (pack == 1 and vpu_tail and mxu_k >= 128 and mxu_k <= seq_len
                 and (seq_len - mxu_k) <= 8)
     if use_tail:
         # vpu_tail == "drop" is a TIMING PROBE ONLY: the tail keys are
@@ -413,11 +413,14 @@ def _v3_attention_core(qkv, x_dtype, attn_scratch, nums_ref=None,
     else:
         mxu_k = lp
         n_tail = 0
-        v_mask = None if seq_len >= lp else "mask"
+        elem_len = lp // pack  # per-element padded length
+        v_mask = None if seq_len >= elem_len else "mask"
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=2)
     if v_mask is not None:
         row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=1)
+        if pack > 1:
+            row = row % elem_len
         ones_block = jnp.where((lane == 0) & (row < seq_len), 1.0, 0.0)
         v_mask = (row < seq_len)
     else:
@@ -511,6 +514,19 @@ def _v3_attention_core(qkv, x_dtype, attn_scratch, nums_ref=None,
                 probs = scores.astype(x_dtype)
             else:
                 probs = jnp.exp2(scores.astype(jnp.float32)).astype(x_dtype)
+            if pack > 1:
+                # BATCH-PACKED short sequences: `pack` frames ride in one
+                # score tile (frame p owns rows [p*Le, (p+1)*Le)); zero the
+                # cross-frame probabilities with a constant block-diagonal
+                # multiply so PV and the ones-column denominator sum only
+                # each query's own frame. Masking PROBS (not scores) keeps
+                # the score path mask-free, exp2 stays unconditioned, and a
+                # multiply-by-constant on a matmul output is the same op
+                # class the int8 kernel's dequant already uses.
+                rr = jax.lax.broadcasted_iota(jnp.int32, (nq, t), 0)
+                cc = jax.lax.broadcasted_iota(jnp.int32, (nq, t), 1)
+                bm = (rr // elem_len == (c0 + cc) // elem_len)
+                probs = probs * bm.astype(x_dtype)
             if probe == "nopv":
                 part = jax.lax.broadcast_in_dim(
                     probs[:, :, :1].astype(jnp.float32), (g, nq, 2 * dh),
@@ -619,7 +635,7 @@ def _fused_layer_kernel_v3(
     o_ref, attn_scratch, nums_scratch, dens_scratch,
     *, seq_len: int, n_head: int, vpu_tail: bool = True,
     probe: Optional[str] = None, head_group: int = 1,
-    epi: str = "div",
+    epi: str = "div", pack: int = 1,
 ):
     """Score-tile-streamed attention variant.
 
@@ -673,7 +689,7 @@ def _fused_layer_kernel_v3(
     # holds under the same |score| < 88 bound as the rest of the kernel.
     _v3_attention_core(qkv, x.dtype, attn_scratch, nums_scratch, dens_scratch,
                        seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
-                       probe=probe, head_group=head_group, epi=epi)
+                       probe=probe, head_group=head_group, epi=epi, pack=pack)
 
     if probe == "noproj":
         proj = attn_scratch[:].astype(jnp.float32)
@@ -929,13 +945,32 @@ def fused_encoder_layer_v3_stack(
     # keeps f32 nums but widens the denominator store to dh lanes
     nums_dtype = x.dtype if epi in ("div2", "mul2") else jnp.float32
     dens_width = D if epi == "div3" else n_head
-    G = g_override or _pick_batch_block_v3(Lp, D, max(
+    # VITIQ_V3_PACK: BATCH-PACKING for short sequences — ride `pack` frames
+    # in one attention tile (frame p owns rows [p*Lp, (p+1)*Lp)), with the
+    # cross-frame probabilities zeroed by a constant block-diagonal multiply
+    # in the kernel. Motivation (measured): at Lp=80 the rawIQ arm spends
+    # 56% of its time in attention (noattn probe 22.4 vs 50.2 ms) because
+    # every per-head score/PV matmul is an M=80, N<=80 sliver — packing
+    # multiplies M and the real N per MXU invocation by `pack` and divides
+    # the invocation count by `pack`. Auto: fill a 128 tile when Lp <= 64,
+    # pairs at Lp <= 80; off for the flagship (Lp=144). -1 = auto, 0/1 = off.
+    pack = 1
+    if not attn_int8 and head_group == 1 and not vpu_tail:
+        pack = int(os.environ.get("VITIQ_V3_PACK", "-1"))
+        if pack < 0:
+            pack = (128 // Lp) if Lp <= 64 else (2 if Lp <= 80 else 1)
+        pack = max(1, pack)
+    Lpk = Lp * pack
+    G = g_override or _pick_batch_block_v3(Lpk, D, max(
         lp_["ffn"]["linear1"]["kernel"].shape[1] for lp_ in layer_params_list
     ), x.dtype.itemsize)
-    Bp = _round_up(B, G)
+    Bp = _round_up(B, G * pack)
     xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
+    if pack > 1:
+        xp = xp.reshape(Bp // pack, Lpk, D)
+    Bk = Bp // pack  # leading dim of the packed stream
 
-    data_block = pl.BlockSpec((G, Lp, D), lambda i: (i, 0, 0),
+    data_block = pl.BlockSpec((G, Lpk, D), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
 
     def rep(shape):
@@ -999,18 +1034,22 @@ def fused_encoder_layer_v3_stack(
                         o_ref, attn_scratch, nums_s, dens_s,
                         seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
                         probe=probe, head_group=head_group, epi=epi,
+                        pack=pack,
                     )
 
         xp = pl.pallas_call(
             kernel,
-            grid=(Bp // G,),
+            grid=(Bk // G,),
             in_specs=[data_block] + [rep(o.shape) for o in flat],
             out_specs=data_block,
-            out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
-            scratch_shapes=[pltpu.VMEM((G, Lp, D), x.dtype),
-                            pltpu.VMEM((G, Lp, D), nums_dtype),
-                            pltpu.VMEM((G, Lp, dens_width), jnp.float32)],
+            out_shape=jax.ShapeDtypeStruct((Bk, Lpk, D), x.dtype),
+            scratch_shapes=[pltpu.VMEM((G, Lpk, D), x.dtype),
+                            pltpu.VMEM((G, Lpk, D), nums_dtype),
+                            pltpu.VMEM((G, Lpk, dens_width), jnp.float32)],
         )(xp, *flat)
+
+    if pack > 1:
+        xp = xp.reshape(Bp, Lp, D)
 
     if cls_only:
         rq = 8  # one sublane tile of query rows (row 0 = CLS)
@@ -1020,10 +1059,12 @@ def fused_encoder_layer_v3_stack(
             vpu_tail=vpu_tail, epi=epi)
         out_block = pl.BlockSpec((G, rq, D), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
+        cls_in_block = pl.BlockSpec((G, Lp, D), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
         xp = pl.pallas_call(
             cls_kernel,
             grid=(Bp // G,),
-            in_specs=[data_block] + [rep(o.shape) for o in flat],
+            in_specs=[cls_in_block] + [rep(o.shape) for o in flat],
             out_specs=out_block,
             out_shape=jax.ShapeDtypeStruct((Bp, rq, D), x.dtype),
             scratch_shapes=[pltpu.VMEM((G, rq, D), x.dtype),
