@@ -208,6 +208,44 @@ class TestSpectrogram:
         logits = make_forward(cfg)(params, img)
         assert logits.shape == (2, 11)
 
+    def test_vit_spectrogram_image_fit(self):
+        """preprocess_batch_vit_spectrogram sizes the STFT to the ViT patch
+        grid exactly (crop and pad paths), for any L >= nfft."""
+        import jax.numpy as jnp
+        from vitiq.dsp.frontend import preprocess_batch_vit_spectrogram
+
+        rng = np.random.default_rng(5)
+        for L, H, W in [(1024, 32, 64), (128, 16, 16), (200, 16, 32)]:
+            x = jnp.asarray(rng.standard_normal((3, L, 2)), jnp.float32)
+            img = preprocess_batch_vit_spectrogram(x, H=H, W=W)
+            assert img.shape == (3, 1, H, W), (L, H, W, img.shape)
+        with np.testing.assert_raises(Exception):
+            preprocess_batch_vit_spectrogram(
+                jnp.zeros((1, 8, 2)), H=16, W=16)
+
+    def test_spectrogram_features_end_to_end(self):
+        """DataConfig.features='spectrogram' (BASELINE config 2: ViT-Tiny on
+        spectrogram patches) trains end-to-end through build_preprocess."""
+        import jax, jax.numpy as jnp
+        from vitiq.config import ExperimentConfig
+        from vitiq.models import init_amc_params, make_forward
+        from vitiq.runner import build_preprocess
+
+        cfg = ExperimentConfig.vit_tiny_2016(**{"data.features": "spectrogram"})
+        assert cfg.data.features == "spectrogram"
+        pre = build_preprocess(cfg, {})
+        x = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (4, cfg.model.seq_length, 2)), jnp.float32)
+        img = pre(x)
+        assert img.shape == (4, 1, cfg.model.img_size_h, cfg.model.img_size_w)
+        params = init_amc_params(jax.random.PRNGKey(0), cfg.model)
+        logits = jax.jit(lambda p, v: make_forward(cfg.model)(p, v))(params, img)
+        assert logits.shape == (4, cfg.model.num_classes)
+        # gradients flow through the STFT front end in one jit program
+        loss = lambda p: jnp.sum(make_forward(cfg.model)(p, pre(x)) ** 2)
+        g = jax.grad(loss)(params)
+        assert all(bool(jnp.all(jnp.isfinite(t))) for t in jax.tree.leaves(g))
+
 
 class TestFusedSPSFrontend:
     def test_sps1_identity(self):

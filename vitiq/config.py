@@ -135,8 +135,9 @@ class DataConfig:
     """
 
     source: str = "synthetic"  # 'synthetic' | 'hdf5'
-    # input features for the rawiq arm: 'iq' (reference behavior) or
-    # 'amp_phase' (the MDF-NET dual-domain transform, vitiq extension)
+    # input features: 'iq' (reference behavior for both arms), 'amp_phase'
+    # (rawiq arm — the MDF-NET dual-domain transform, vitiq extension), or
+    # 'spectrogram' (vit arm — STFT-image patchification, BASELINE config 2)
     features: str = "iq"
     file_path: str = ""
     json_path: str = ""

@@ -214,6 +214,30 @@ def preprocess_batch_spectrogram(
     return ((img - mean) / std)[:, None, :, :].astype(jnp.float32)
 
 
+def preprocess_batch_vit_spectrogram(x: jnp.ndarray, H: int = 32,
+                                     W: int = 64) -> jnp.ndarray:
+    """[B, L, 2] I/Q frames -> [B, 1, H, W] spectrogram IMAGES sized for the
+    ViT patch grid (the 'spectrogram patchification' input mode of
+    BASELINE.json configs 2; `DataConfig.features='spectrogram'`).
+
+    nfft = H (frequency bins fill the image height); hop is chosen so the
+    STFT yields at least W frames, then the time axis is center-cropped to
+    exactly W. Falls back to edge-padding when L is too short to produce W
+    frames at hop=1."""
+    B, L, _ = x.shape
+    if L < H:
+        raise ValueError(f"frame length {L} must be >= nfft (= H = {H})")
+    hop = max(1, (L - H) // max(1, W - 1))
+    img = preprocess_batch_spectrogram(x, nfft=H, hop=hop)  # [B, 1, H, T]
+    T = img.shape[-1]
+    if T < W:
+        img = jnp.pad(img, ((0, 0), (0, 0), (0, 0), (0, W - T)), mode="edge")
+    elif T > W:
+        start = (T - W) // 2
+        img = img[..., start:start + W]
+    return img
+
+
 def preprocess_batch_mdf(x: jnp.ndarray, H: int = 32, W: int = 32):
     """The MDF-NET dual-stream transform (ref: ViT/MDF_NET.ipynb cell 7):
     [B, L, 2] raw frames -> (amplitude image [B, 1, H, W] scaled by per-frame

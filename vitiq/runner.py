@@ -36,6 +36,12 @@ from vitiq.train.optim import create_train_state
 def build_preprocess(cfg: ExperimentConfig, stats: Dict[str, float]) -> Callable:
     """The fused front-end matching the arm: raw [B, L, 2] -> model input."""
     if cfg.model.arm == "vit":
+        if cfg.data.features == "spectrogram":
+            from vitiq.dsp import preprocess_batch_vit_spectrogram
+
+            return lambda x: preprocess_batch_vit_spectrogram(
+                x, H=cfg.model.img_size_h, W=cfg.model.img_size_w
+            )
         return lambda x: preprocess_batch_vit(
             x, stats, H=cfg.model.img_size_h, W=cfg.model.img_size_w
         )
