@@ -43,6 +43,15 @@ def flagship_rawiq_config(numerics: str = "tpu") -> ModelConfig:
                        segment_size=16, numerics=numerics)
 
 
+def rawiq_seg64_config(numerics: str = "tpu") -> ModelConfig:
+    """rawIQ segment-64 (17 tokens, Lp=32) — the reference's
+    production_rawIQv1 tokenization (seg=64) and the shape where
+    batch-packing fills a 128 tile exactly (P=4)."""
+    return ModelConfig(arm="rawiq", num_classes=19, d_model=128, n_head=8,
+                       n_layers=6, ffn_hidden=1024, drop_prob=0.2,
+                       segment_size=64, numerics=numerics)
+
+
 def flagship_conv1d_config(numerics: str = "tpu") -> ModelConfig:
     """rawIQ conv1d tokenization — 1025 tokens incl. CLS, the reference's
     long-sequence mode (ref: transformer_rawIQ/models/encoder.py:34-41)."""
@@ -104,6 +113,7 @@ def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
     total, not per-chip)."""
     batch_size = batch_size or _default_batch()
     cfg = {"vit": flagship_vit_config, "rawiq": flagship_rawiq_config,
+           "rawiq_seg64": rawiq_seg64_config,
            "rawiq_conv1d": flagship_conv1d_config}[arm](numerics)
     if arm == "rawiq_conv1d":
         # 1025-token attention is ~60x the 129-token FLOPs; keep the default
@@ -427,6 +437,8 @@ def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = N
                                  data_parallel=data_parallel)
     if which == "rawiq_infer":
         return bench_fused_infer("rawiq", batch_size, steps)
+    if which == "rawiq64_infer":
+        return bench_fused_infer("rawiq_seg64", batch_size, steps)
     if which == "conv1d_infer":
         return bench_fused_infer("rawiq_conv1d", batch_size, steps)
     if which == "int8_infer":

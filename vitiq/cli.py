@@ -21,9 +21,11 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--config", type=str, help="Path to experiment config JSON")
     # data
     p.add_argument("--source", choices=["synthetic", "hdf5"], default=None)
-    p.add_argument("--features", choices=["iq", "amp_phase"], default=None,
-                   help="rawiq input features: raw I/Q (reference) or the "
-                        "MDF amplitude/phase transform")
+    p.add_argument("--features", choices=["iq", "amp_phase", "spectrogram"],
+                   default=None,
+                   help="input features: raw I/Q (reference), the MDF "
+                        "amplitude/phase transform (rawiq), or STFT "
+                        "spectrogram images (vit)")
     p.add_argument("--file_path", type=str, help="Path to HDF5 data file")
     p.add_argument("--json_path", type=str, help="Path to classes JSON file")
     # training
@@ -238,9 +240,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("bench", help="Throughput / latency benchmarks")
     p.add_argument("--which", default="fused_vit_infer",
-                   choices=["fused_vit_infer", "rawiq_infer", "conv1d_infer",
-                            "int8_infer", "train_step", "head_variant",
-                            "dsp_frontend", "ingestion", "e2e_serving", "streaming", "all"])
+                   choices=["fused_vit_infer", "rawiq_infer", "rawiq64_infer",
+                            "conv1d_infer", "int8_infer", "train_step",
+                            "head_variant", "dsp_frontend", "ingestion",
+                            "e2e_serving", "streaming", "all"])
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--n_head", type=int, default=None,
