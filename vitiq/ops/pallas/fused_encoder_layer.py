@@ -951,14 +951,16 @@ def fused_encoder_layer_v3_stack(
     # in the kernel. Motivation (measured): at Lp=80 the rawIQ arm spends
     # 56% of its time in attention (noattn probe 22.4 vs 50.2 ms) because
     # every per-head score/PV matmul is an M=80, N<=80 sliver — packing
-    # multiplies M and the real N per MXU invocation by `pack` and divides
-    # the invocation count by `pack`. Auto: fill a 128 tile when Lp <= 64,
-    # pairs at Lp <= 80; off for the flagship (Lp=144). -1 = auto, 0/1 = off.
+    # multiplies M per MXU invocation by `pack`. MEASURED: pairs WIN at
+    # Lp=80 (169.4K vs 163.3K rawIQ) but LOSE at Lp=32 even with a perfect
+    # 128-tile fill (seg-64: packed-P4 346K vs unpacked 373K) and at P=4
+    # on Lp=80 (137K) — so auto packs pairs only in the measured win
+    # region 64 < Lp <= 96. -1 = auto, 0/1 = off, N = force P=N.
     pack = 1
     if not attn_int8 and head_group == 1 and not vpu_tail:
         pack = int(os.environ.get("VITIQ_V3_PACK", "-1"))
         if pack < 0:
-            pack = (128 // Lp) if Lp <= 64 else (2 if Lp <= 80 else 1)
+            pack = 2 if 64 < Lp <= 96 else 1
         pack = max(1, pack)
     Lpk = Lp * pack
     G = g_override or _pick_batch_block_v3(Lpk, D, max(
