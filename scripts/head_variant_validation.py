@@ -25,38 +25,52 @@ def main() -> int:
     from vitiq.config import DataConfig, ExperimentConfig, ModelConfig, TrainConfig
     from vitiq.runner import run_training
 
+    seeds = [int(s) for s in (sys.argv[3].split(",") if len(sys.argv) > 3
+                              else ["0", "1", "2"])]
     results = {}
     # Learnable-within-CPU-budget geometry: the d_head question is about the
     # ATTENTION width (d_model/n_head), which a 2-layer stack at the flagship
     # width exercises; high-SNR frames keep the task solvable in ~a dozen
     # epochs (the full 6-layer/all-SNR setup needs the reference's 60-80 GPU
-    # epochs and stays at chance here — measured).
+    # epochs and stays at chance here — measured). Multi-seed replicates
+    # (init + data seeds varied together) put error bars on the deltas.
     classes = ("BPSK", "QPSK", "8PSK", "16QAM", "64QAM")
     for n_head in (8, 4, 2):
-        cfg = ExperimentConfig(
-            model=ModelConfig(arm="vit", num_classes=len(classes), d_model=128,
-                              n_head=n_head, n_layers=2, ffn_hidden=512,
-                              drop_prob=0.1, patch_size=4, numerics="reference"),
-            data=DataConfig(source="synthetic", synthetic_classes=classes,
-                            synthetic_frames_per_class=frames_per_class,
-                            synthetic_snr_db=(8.0, 14.0, 20.0)),
-            train=TrainConfig(batch_size=128, num_epochs=epochs,
-                              patience=epochs),
-            experiment_name=f"head_variant_h{n_head}",
-        )
-        summary = run_training(cfg, verbose=True)
+        accs, vlosses = [], []
+        for seed in seeds:
+            cfg = ExperimentConfig(
+                model=ModelConfig(arm="vit", num_classes=len(classes),
+                                  d_model=128, n_head=n_head, n_layers=2,
+                                  ffn_hidden=512, drop_prob=0.1, patch_size=4,
+                                  numerics="reference"),
+                data=DataConfig(source="synthetic", synthetic_classes=classes,
+                                synthetic_frames_per_class=frames_per_class,
+                                synthetic_snr_db=(8.0, 14.0, 20.0),
+                                synthetic_seed=seed),
+                train=TrainConfig(batch_size=128, num_epochs=epochs,
+                                  patience=epochs, init_seed=seed,
+                                  dropout_seed=seed + 100,
+                                  shuffle_seed=seed + 200),
+                experiment_name=f"head_variant_h{n_head}_s{seed}",
+            )
+            summary = run_training(cfg, verbose=True)
+            accs.append(summary.get("test_overall_accuracy"))
+            vlosses.append(summary.get("best_val_loss"))
+            print(f"n_head={n_head} seed={seed}: "
+                  f"test acc {accs[-1]:.4f}", flush=True)
+        import statistics
+
         results[f"h{n_head}"] = {
             "d_head": 128 // n_head,
-            "test_overall_accuracy": summary.get("test_overall_accuracy"),
-            "best_val_loss": summary.get("best_val_loss"),
-            "epochs_run": summary.get("epochs_run"),
+            "per_seed_accuracy": accs,
+            "mean_accuracy": statistics.mean(accs),
+            "stdev_accuracy": statistics.stdev(accs) if len(accs) > 1 else 0.0,
+            "mean_best_val_loss": statistics.mean(vlosses),
         }
-        print(f"n_head={n_head} (d_head={128 // n_head}): "
-              f"test acc {summary.get('test_overall_accuracy'):.4f}", flush=True)
 
-    base = results["h8"]["test_overall_accuracy"]
+    base = results["h8"]["mean_accuracy"]
     for k, v in results.items():
-        v["delta_vs_h8"] = v["test_overall_accuracy"] - base
+        v["delta_vs_h8"] = v["mean_accuracy"] - base
     out = pathlib.Path("head_variant_validation.json")
     out.write_text(json.dumps(results, indent=2))
     print(json.dumps(results, indent=2))

@@ -125,7 +125,16 @@ def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
         kv_mask = None
     ones_block = ones_block.astype(x_dtype)
 
-    accs, qkvs = [], []
+    import os
+
+    # VITIQ_TRAIN_PB=reuse: keep each head's unnormalized probability tiles
+    # (bf16) from this recompute and let the backward's gradient loop use
+    # them directly (pbar = probs * 1/denom) instead of re-running the score
+    # matmul + exp per tile.
+    keep_probs = (want_residuals
+                  and os.environ.get("VITIQ_TRAIN_PB", "recompute") == "reuse")
+
+    accs, qkvs, probs_all = [], [], []
     for h in range(n_head):
         q = qkv[:, :, h * dh:(h + 1) * dh]
         k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
@@ -136,6 +145,7 @@ def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
         qs = (q.astype(jnp.float32) * scale2).astype(x_dtype)
         vaug = jnp.concatenate([v, ones_block], axis=-1)
         acc = None
+        probs_tiles = []
         for c0 in range(0, mxu_k, 128):
             t = min(128, mxu_k - c0)
             scores = jax.lax.dot_general(
@@ -144,6 +154,8 @@ def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
                 preferred_element_type=jnp.float32,
             )
             probs = jnp.exp2(scores).astype(x_dtype)
+            if keep_probs:
+                probs_tiles.append(probs)
             part = jax.lax.dot_general(
                 probs, vaug[:, c0:c0 + t, :],
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -152,6 +164,7 @@ def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
             acc = part if acc is None else acc + part
         accs.append(acc)
         qkvs.append((qs, k, v))
+        probs_all.append(probs_tiles if keep_probs else None)
 
     corr = pacc = None
     if n_tail:
@@ -226,7 +239,8 @@ def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
         if not want_residuals:
             return attn, None
         heads = [(qkvs[h][0], qkvs[h][1], qkvs[h][2], denoms[h],
-                  attn32[:, :, h * dh:(h + 1) * dh]) for h in range(n_head)]
+                  attn32[:, :, h * dh:(h + 1) * dh], probs_all[h])
+                 for h in range(n_head)]
         return attn, heads
 
     outs = []
@@ -236,7 +250,7 @@ def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
         outs.append(out.astype(x_dtype))
         if want_residuals:
             qs, k, v = qkvs[h]
-            heads.append((qs, k, v, denoms[h], out))
+            heads.append((qs, k, v, denoms[h], out, probs_all[h]))
     attn = jnp.concatenate(outs, axis=-1)
     return (attn, heads) if want_residuals else (attn, None)
 
@@ -432,21 +446,28 @@ def _bwd_kernel(
     mxu_k, n_tail = _key_split(lp, seq_len)
     dq_heads, dk_heads, dv_heads = [], [], []
     for hd_i in range(n_head):
-        qs, k, v, denom, out = heads[hd_i]
+        qs, k, v, denom, out, probs_tiles = heads[hd_i]
         dout = dattn[:, :, hd_i * dh:(hd_i + 1) * dh].astype(jnp.float32)
         # flash identity: sum_j dp_ij p_ij = dout_i . out_i
         drow = jnp.sum(dout * out, axis=-1, keepdims=True)
+        rcp = (1.0 / denom) if probs_tiles is not None else None
         dq_acc = None
         dk_cols = []
         dv_cols = []
         for c0 in range(0, mxu_k, 128):
             t = min(128, mxu_k - c0)
-            scores = jax.lax.dot_general(
-                qs, k[:, c0:c0 + t, :],
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            pbar = (jnp.exp2(scores) / denom).astype(x.dtype)  # [G, Lq, t]
+            if probs_tiles is not None:
+                # VITIQ_TRAIN_PB=reuse: normalize the recompute's cached
+                # probability tile instead of re-running score matmul + exp
+                pbar = (probs_tiles[c0 // 128].astype(jnp.float32)
+                        * rcp).astype(x.dtype)
+            else:
+                scores = jax.lax.dot_general(
+                    qs, k[:, c0:c0 + t, :],
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                pbar = (jnp.exp2(scores) / denom).astype(x.dtype)  # [G, Lq, t]
             # dV[kt] = pbar^T dout ; ddenom folds via the drow term
             dv_cols.append(jax.lax.dot_general(
                 pbar, dout.astype(x.dtype),
