@@ -8,8 +8,9 @@ the synthetic head-to-head harness: identical data, seeds, budget — only
 n_head differs.
 
 Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/head_variant_validation.py \
-           [epochs] [frames_per_class]
-Writes head_variant_validation.json next to the experiment dirs.
+           [epochs] [frames_per_class] [comma-separated seeds, default 0,1,2]
+Runs each variant once per seed (init/data/shuffle seeds varied together)
+and writes per-seed + mean/stdev results to head_variant_validation.json.
 """
 import json
 import pathlib

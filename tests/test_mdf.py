@@ -35,6 +35,13 @@ def test_mdf_transform_contract():
     np.testing.assert_array_equal(np.asarray(iq), np.asarray(x))
     with pytest.raises(ValueError):
         preprocess_batch_mdf(x[:, :1000, :])
+    # stats path: notebook cell-7 semantics — z-score first, then amp/phase
+    stats = {"i_mean": 0.5, "i_std": 2.0, "q_mean": -0.25, "q_std": 0.5}
+    amp_s, phase_s, iq_s = preprocess_batch_mdf(x, stats=stats)
+    want_iq = np.stack([(np.asarray(x)[..., 0] - 0.5) / 2.0,
+                        (np.asarray(x)[..., 1] + 0.25) / 0.5], -1)
+    np.testing.assert_allclose(np.asarray(iq_s), want_iq, rtol=1e-6)
+    assert not np.allclose(np.asarray(amp_s), np.asarray(amp))
 
 
 def test_mdf_forward_shapes_and_jit():
@@ -62,6 +69,9 @@ def test_mdf_dropout_train_vs_eval():
                    rng=jax.random.PRNGKey(2))
     assert not np.allclose(np.asarray(tr1), np.asarray(ev1))
     assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
+    # train=True without an rng must run dropout-free, not crash
+    tr_norng = apply_fn(params, amp, phase, iq, train=True)
+    np.testing.assert_array_equal(np.asarray(tr_norng), np.asarray(ev1))
 
 
 def test_mdf_trains_on_separable_synthetic():

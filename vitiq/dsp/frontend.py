@@ -8,7 +8,7 @@ jit-fusable production path that feeds the models without leaving the device.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -238,19 +238,30 @@ def preprocess_batch_vit_spectrogram(x: jnp.ndarray, H: int = 32,
     return img
 
 
-def preprocess_batch_mdf(x: jnp.ndarray, H: int = 32, W: int = 32):
+def preprocess_batch_mdf(x: jnp.ndarray, H: int = 32, W: int = 32,
+                         stats: Optional[Dict[str, float]] = None):
     """The MDF-NET dual-stream transform (ref: ViT/MDF_NET.ipynb cell 7):
     [B, L, 2] raw frames -> (amplitude image [B, 1, H, W] scaled by per-frame
-    max, phase image [B, 1, H, W] scaled by pi, raw iq sequence [B, L, 2]).
+    max, phase image [B, 1, H, W] scaled by pi, iq sequence [B, L, 2]).
 
-    L must equal H*W (1024 = 32x32 in the notebook). The notebook's CNN-LSTM
-    consumer (`CNN_LSTM_new.create_multi_domain_model`) is missing from the
-    reference tree (SURVEY.md §2.7); a capability-equivalent reconstruction
-    of its contract lives in `vitiq.models.mdf`.
+    With `stats` (the dataset i/q mean/std dict), the I/Q channels are
+    z-scored FIRST and amplitude/phase derive from the normalized signal —
+    the notebook's exact cell-7 semantics. Without stats the raw signal is
+    used (amp is per-frame max-scaled either way, so only the relative
+    channel weighting differs). L must equal H*W (1024 = 32x32 in the
+    notebook). The notebook's CNN-LSTM consumer
+    (`CNN_LSTM_new.create_multi_domain_model`) is missing from the reference
+    tree (SURVEY.md §2.7); a capability-equivalent reconstruction of its
+    contract lives in `vitiq.models.mdf`.
     """
     B, L, _ = x.shape
     if L != H * W:
         raise ValueError(f"frame length {L} must equal H*W = {H * W}")
+    if stats is not None:
+        x = jnp.stack([
+            (x[..., 0] - stats["i_mean"]) / stats["i_std"],
+            (x[..., 1] - stats["q_mean"]) / stats["q_std"],
+        ], axis=-1)
     i_sig, q_sig = x[..., 0], x[..., 1]
     amp = jnp.sqrt(i_sig * i_sig + q_sig * q_sig)
     amp_max = jnp.maximum(jnp.max(amp, axis=-1, keepdims=True), 1e-8)

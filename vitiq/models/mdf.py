@@ -4,9 +4,10 @@ exploratory notebook (ref: ViT/MDF_NET.ipynb).
 The notebook trains an external `CNN_LSTM_new.create_multi_domain_model(
 num_classes, dropout_rate=0.7)` on triples produced by its
 DualStreamRadioMLDataset (cell 7): amplitude image [B, 1, 32, 32] scaled by
-the per-sample max, phase image [B, 1, 32, 32] scaled by pi, and the z-scored
-raw I/Q sequence [B, 1024, 2] (call signature: cell 19,
-`model(amp, phase, iq_seq)`). The `CNN_LSTM_new` module itself is MISSING
+the per-sample max, phase image [B, 1, 32, 32] scaled by pi, and the I/Q
+sequence [B, 1024, 2] — all derived from the z-scored signal (pass the
+dataset stats to `preprocess_batch_mdf(x, stats=...)` for those exact
+semantics) (call signature: cell 19, `model(amp, phase, iq_seq)`). The `CNN_LSTM_new` module itself is MISSING
 from the reference tree (SURVEY.md §2.7), so the internals below are a
 TPU-native capability-equivalent reconstruction, not a port: two weight-tied-
 architecture (separately parameterized) CNN towers for the amplitude/phase
@@ -142,13 +143,15 @@ def create_multi_domain_model(num_classes: int, dropout_rate: float = 0.7):
         f_iq = _lstm_apply(params["lstm"], x, _LSTM_HIDDEN)
 
         fused = jnp.concatenate([f_amp, f_ph, f_iq], axis=-1)
-        if train and rng is not None:
-            r1, r2 = jax.random.split(rng)
-        else:
-            r1 = r2 = None
-        fused = dropout(fused, dropout_rate, r1, train)
+        # train=True without an rng runs dropout-free (torch-eval semantics
+        # for the masks) rather than crashing — the notebook's call sites
+        # always train with AMP+dropout, but the factory contract shouldn't
+        # require an rng to smoke-test the train path
+        drop_on = train and rng is not None
+        r1, r2 = jax.random.split(rng) if drop_on else (None, None)
+        fused = dropout(fused, dropout_rate, r1, drop_on)
         hid = jnp.maximum(linear_apply(params["fuse1"], fused), 0.0)
-        hid = dropout(hid, dropout_rate, r2, train)
+        hid = dropout(hid, dropout_rate, r2, drop_on)
         return linear_apply(params["head"], hid).astype(jnp.float32)
 
     return init_fn, apply_fn

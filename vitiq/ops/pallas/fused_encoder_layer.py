@@ -939,6 +939,8 @@ def fused_encoder_layer_v3_stack(
     # in place + reciprocal multiply) or "div" (f32 numerator scratch + wide
     # divide)
     epi = os.environ.get("VITIQ_V3_EPI", "div")
+    if epi not in ("div", "div2", "div3", "mul", "mul2"):
+        epi = "div"
     if head_group > 1:
         epi = "div"  # the grouped path only implements the div epilogue
     # bf16-numerator variants store numerators at the stream dtype; div3
@@ -1374,7 +1376,7 @@ def _fused_layer_kernel_v3_w8(
     x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
     g1_ref, be1_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     g2_ref, be2_ref, o_ref, attn_scratch, nums_scratch, dens_scratch,
-    *, seq_len: int, n_head: int, vpu_tail: bool = True, epi: str = "div",
+    *, seq_len: int, n_head: int, vpu_tail: bool = True,
 ):
     """v3 attention + INT8 weight GEMMs (W8A8: per-out-channel weight scales,
     dynamic per-row activation scales). The attention core stays the bf16 v3
@@ -1395,9 +1397,10 @@ def _fused_layer_kernel_v3_w8(
 
     qkv = int8_gemm(x, wqkv_ref, sqkv_ref, bqkv_ref).astype(x.dtype)
 
+    # epi fixed to the default wide divide: this stack allocates the f32
+    # nums / [*, n_head] dens scratch shapes that mode requires
     _v3_attention_core(qkv, x.dtype, attn_scratch, nums_scratch, dens_scratch,
-                       seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
-                       epi=epi)
+                       seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail)
 
     proj = int8_gemm(attn_scratch[:], wo_ref, so_ref, bo_ref)
     x1 = _layer_norm(proj + x.astype(jnp.float32), g1_ref[:], be1_ref[:], x.dtype)

@@ -39,6 +39,7 @@ torch masks differ too).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -92,8 +93,6 @@ def _key_split(lp: int, seq_len: int):
     A/B measured the remainder tile FREE on v5e (MXU cost tracks actual N
     width, not ceil(N/128)) and every replacement a net loss — see
     fused_encoder_layer.fused_encoder_layer_v3_stack. Kept gated + tested."""
-    import os
-
     if os.environ.get("VITIQ_TRAIN_TAIL", "0") != "1":
         return lp, 0
     mxu_k = (lp // 128) * 128
@@ -124,8 +123,6 @@ def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
         ones_block = jnp.where(lane == 0, 1.0, 0.0)
         kv_mask = None
     ones_block = ones_block.astype(x_dtype)
-
-    import os
 
     # VITIQ_TRAIN_PB=reuse: keep each head's unnormalized probability tiles
     # (bf16) from this recompute and let the backward's gradient loop use
@@ -212,28 +209,17 @@ def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
         outs_u.append(out_u)
         denoms.append(denom)
 
-    import os
-
     # measured on chip (batch 2048): wide 53.2/150.1 ms fwd/step vs head
     # 56.1/157.3 — the serving kernel's wide-divide win carries over
     if os.environ.get("VITIQ_TRAIN_EPI", "wide") == "wide":
         # ONE wide [G,Lp,D] divide instead of 8 narrow per-head ones —
         # the serving kernel's measured win (docs/BENCHMARKS.md round-2.6):
-        # denominators expanded onto head lanes via a constant block-diag
-        # matmul with an f32-accurate hi/lo split.
-        hh = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 0)
-        ll = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 1)
-        blk_t = (ll // dh == hh).astype(x_dtype)  # [H, D]
+        # denominators expanded onto head lanes via the shared constant
+        # block-diag matmul helper (f32-accurate hi/lo split).
+        from vitiq.ops.pallas.fused_encoder_layer import _den_expand
+
         dens = jnp.concatenate(denoms, axis=-1)  # [G, Lp, H] f32
-        hi_p = dens.astype(x_dtype)
-        lo_p = (dens - hi_p.astype(jnp.float32)).astype(x_dtype)
-        den_exp = jax.lax.dot_general(
-            hi_p, blk_t, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            lo_p, blk_t, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        den_exp = _den_expand(dens, x_dtype, n_head, dh, d)
         attn32 = jnp.concatenate(outs_u, axis=-1) / den_exp  # [G, Lp, D]
         attn = attn32.astype(x_dtype)
         if not want_residuals:

@@ -42,6 +42,10 @@ def build_preprocess(cfg: ExperimentConfig, stats: Dict[str, float]) -> Callable
             return lambda x: preprocess_batch_vit_spectrogram(
                 x, H=cfg.model.img_size_h, W=cfg.model.img_size_w
             )
+        if cfg.data.features != "iq":
+            raise ValueError(
+                f"features={cfg.data.features!r} is not valid for the vit arm "
+                "(use 'iq' or 'spectrogram')")
         return lambda x: preprocess_batch_vit(
             x, stats, H=cfg.model.img_size_h, W=cfg.model.img_size_w
         )
@@ -49,6 +53,10 @@ def build_preprocess(cfg: ExperimentConfig, stats: Dict[str, float]) -> Callable
         from vitiq.dsp import preprocess_batch_amplitude_phase
 
         return preprocess_batch_amplitude_phase
+    if cfg.data.features != "iq":
+        raise ValueError(
+            f"features={cfg.data.features!r} is not valid for the rawiq arm "
+            "(use 'iq' or 'amp_phase')")
     return lambda x: preprocess_batch_rawiq(x, stats)
 
 
