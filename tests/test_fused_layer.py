@@ -165,6 +165,27 @@ def test_v3_batch_packed_matches_unpacked(Lx, n_head, p, monkeypatch):
     np.testing.assert_allclose(got, got_unpacked, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_layers", [2, 3])
+def test_v3_fused_cls_tail_matches(n_layers, monkeypatch):
+    """VITIQ_V3_FUSECLS=1 (last full layer + CLS layer in one pallas call,
+    intermediate activation VMEM-resident) must match the two-call path."""
+    from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v3_stack
+
+    rng = np.random.default_rng(61)
+    ps = [L.encoder_layer_init(jax.random.PRNGKey(95 + i), 128, 256)
+          for i in range(n_layers)]
+    x = jnp.asarray(rng.standard_normal((3, 129, 128)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("VITIQ_V3_FUSECLS", "0")
+        two_call = np.asarray(fused_encoder_layer_v3_stack(x, ps, 8,
+                                                           cls_only=True))
+        monkeypatch.setenv("VITIQ_V3_FUSECLS", "1")
+        fused = np.asarray(fused_encoder_layer_v3_stack(x, ps, 8,
+                                                        cls_only=True))
+    assert fused.shape == (3, 1, 128)
+    np.testing.assert_allclose(fused, two_call, atol=1e-5)
+
+
 def test_v3_batch_packed_cls_only(monkeypatch):
     """Packing + CLS-only last layer (the rawIQ serving path) must match
     token 0 of the full packed stack."""

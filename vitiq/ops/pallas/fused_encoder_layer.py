@@ -985,6 +985,14 @@ def fused_encoder_layer_v3_stack(
     # pooling), so the last layer runs the single-query-row kernel and the
     # stack returns [B, 1, D]
     full_layers = layer_params_list[:-1] if cls_only else layer_params_list
+    # VITIQ_V3_FUSECLS=1: run the last FULL layer and the CLS-only layer in
+    # ONE pallas call, keeping the intermediate [G, Lp, D] activation in a
+    # VMEM scratch — removes one full-activation HBM write+read and one
+    # dispatch
+    fusecls = (os.environ.get("VITIQ_V3_FUSECLS", "0") == "1" and cls_only
+               and pack == 1 and probe is None and not attn_int8
+               and len(full_layers) >= 1)
+    main_layers = full_layers[:-1] if fusecls else full_layers
     scale = _LOG2E / ((D // n_head) ** 0.5)
 
     def layer_operands(lp_):
@@ -1017,8 +1025,8 @@ def fused_encoder_layer_v3_stack(
         ]
 
     N_OPS = 12
-    for start in range(0, len(full_layers), layers_per_call):
-        group = full_layers[start:start + layers_per_call]
+    for start in range(0, len(main_layers), layers_per_call):
+        group = main_layers[start:start + layers_per_call]
         flat = [op for lp_ in group for op in layer_operands(lp_)]
 
         def kernel(x_ref, *rest, n_layers=len(group)):
@@ -1057,14 +1065,46 @@ def fused_encoder_layer_v3_stack(
 
     if cls_only:
         rq = 8  # one sublane tile of query rows (row 0 = CLS)
-        flat = layer_operands(layer_params_list[-1])
-        cls_kernel = functools.partial(
-            _fused_layer_kernel_v3_cls, seq_len=seq_len, n_head=n_head,
-            vpu_tail=vpu_tail, epi=epi)
         out_block = pl.BlockSpec((G, rq, D), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
         cls_in_block = pl.BlockSpec((G, Lp, D), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
+        if fusecls:
+            flat = (layer_operands(full_layers[-1])
+                    + layer_operands(layer_params_list[-1]))
+
+            def combo_kernel(x_ref, *rest):
+                w = rest[:-8]
+                (o_ref, mid_s, attn_f, nums_f, dens_f,
+                 attn_c, nums_c, dens_c) = rest[-8:]
+                _fused_layer_kernel_v3(
+                    x_ref, *w[:N_OPS], mid_s, attn_f, nums_f, dens_f,
+                    seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
+                    epi=epi)
+                _fused_layer_kernel_v3_cls(
+                    mid_s, *w[N_OPS:], o_ref, attn_c, nums_c, dens_c,
+                    seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
+                    epi=epi)
+
+            xp = pl.pallas_call(
+                combo_kernel,
+                grid=(Bp // G,),
+                in_specs=[cls_in_block] + [rep(o.shape) for o in flat],
+                out_specs=out_block,
+                out_shape=jax.ShapeDtypeStruct((Bp, rq, D), x.dtype),
+                scratch_shapes=[pltpu.VMEM((G, Lp, D), x.dtype),   # mid act
+                                pltpu.VMEM((G, Lp, D), x.dtype),
+                                pltpu.VMEM((G, Lp, D), nums_dtype),
+                                pltpu.VMEM((G, Lp, dens_width), jnp.float32),
+                                pltpu.VMEM((G, rq, D), x.dtype),
+                                pltpu.VMEM((G, rq, D), nums_dtype),
+                                pltpu.VMEM((G, rq, dens_width), jnp.float32)],
+            )(xp, *flat)
+            return xp[:B, :1, :D]
+        flat = layer_operands(layer_params_list[-1])
+        cls_kernel = functools.partial(
+            _fused_layer_kernel_v3_cls, seq_len=seq_len, n_head=n_head,
+            vpu_tail=vpu_tail, epi=epi)
         xp = pl.pallas_call(
             cls_kernel,
             grid=(Bp // G,),
