@@ -36,10 +36,13 @@ def main() -> int:
     variant = sys.argv[1] if len(sys.argv) > 1 else "step"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    n_head = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
     cfg = flagship_vit_config("tpu")
     if variant == "step_nodrop":
         cfg = replace(cfg, drop_prob=0.0)
+    if n_head is not None:  # d_head>=32 head variants
+        cfg = replace(cfg, n_head=n_head)
     params = init_amc_params(jax.random.PRNGKey(0), cfg)
     fwd = make_forward(cfg)
     pre = lambda x: preprocess_batch_vit(x, FLAGSHIP_STATS)
