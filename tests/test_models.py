@@ -147,6 +147,21 @@ class TestConfigValidation:
         assert cfg2.train == cfg.train
         assert cfg2.data == cfg.data
 
+    def test_vit_tpu_production_preset(self):
+        """The TPU-recommended H4 preset: reference ViT in every respect
+        except n_head=4 (d_head=32), and forward-compatible."""
+        from vitiq.config import ExperimentConfig
+        ref = ExperimentConfig.vit_reference()
+        tpu = ExperimentConfig.vit_tpu_production()
+        assert tpu.model.n_head == 4
+        assert tpu.model.d_model == ref.model.d_model
+        assert tpu.model.n_layers == ref.model.n_layers
+        tpu.model.validate()
+        params = init_amc_params(jax.random.PRNGKey(0), tpu.model)
+        x = jnp.asarray(np.random.default_rng(2).standard_normal(
+            (2, 1, 32, 64)), jnp.float32)
+        assert make_forward(tpu.model)(params, x).shape == (2, 19)
+
 
 class TestTPUNumericsPreset:
     def test_bf16_close_to_f32(self):
