@@ -28,9 +28,19 @@ def test_forward_matches_xla_nodrop(Lx, n_head):
     np.testing.assert_allclose(got, want, atol=3e-5)
 
 
+@pytest.mark.parametrize("knobs", [
+    {},  # defaults: PB=recompute, EPI=wide
+    {"VITIQ_TRAIN_PB": "reuse"},
+    {"VITIQ_TRAIN_EPI": "head"},
+], ids=["default", "pb_reuse", "epi_head"])
 @pytest.mark.parametrize("Lx,n_head", [(17, 4), (129, 8)])
-def test_gradients_match_autodiff_nodrop(Lx, n_head):
-    """dx and every weight gradient vs jax autodiff of the XLA layer."""
+def test_gradients_match_autodiff_nodrop(Lx, n_head, knobs, monkeypatch):
+    """dx and every weight gradient vs jax autodiff of the XLA layer —
+    exercised for every backward env knob (VITIQ_TRAIN_PB=reuse caches
+    probability tiles; VITIQ_TRAIN_EPI=head is the non-wide epilogue), so
+    the gated paths stay correct in CI, like the serving VITIQ_V3_* knobs."""
+    for k, v in knobs.items():
+        monkeypatch.setenv(k, v)
     rng = np.random.default_rng(1)
     params = L.encoder_layer_init(jax.random.PRNGKey(1), 128, 256)
     x = jnp.asarray(rng.standard_normal((2, Lx, 128)), jnp.float32)

@@ -73,6 +73,25 @@ class TestQuantizedModel:
         # logits stay in the same ballpark
         assert np.abs(got - ref).max() < 0.35 * max(np.abs(ref).max(), 1.0)
 
+    def test_rawiq_head_norm_eps_matches_float_path(self):
+        """The rawiq pre-head LayerNorm must run at torch's eps=1e-5 in BOTH
+        paths (vitiq/models/amc.py:75 vs ops/quant.py). Regression test for
+        the round-2 finding: scale the last layer's norm2 gamma to 1e-4 so
+        the pre-head features have variance ~1e-8 — at that scale eps=1e-5
+        vs eps=1e-12 changes the normalized features by ~30x, so any eps
+        mismatch blows the comparison apart (int8 error alone is a few %)."""
+        cfg, params, x = self.make("rawiq")
+        g = params["encoder"]["layers"][-1]["norm2"]
+        params = jax.tree_util.tree_map(lambda t: t, params)
+        params["encoder"]["layers"][-1]["norm2"] = {
+            "gamma": g["gamma"] * 1e-4, "beta": jnp.zeros_like(g["beta"])}
+        ref = np.asarray(make_forward(cfg)(params, x))
+        qparams = quantize_params_int8(params)
+        got = np.asarray(jax.jit(make_quantized_forward(cfg))(qparams, x))
+        scale = max(np.abs(ref).max(), 1e-3)
+        assert np.abs(got - ref).max() < 0.35 * scale, (
+            np.abs(got - ref).max(), scale)
+
     def test_head_stays_float(self):
         cfg, params, _ = self.make()
         qparams = quantize_params_int8(params)

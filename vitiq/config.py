@@ -310,10 +310,12 @@ class ExperimentConfig:
         """The TPU-recommended serving/training architecture: the reference
         ViT config with n_head=4 (d_head=32). Measured on v5e
         (docs/BENCHMARKS.md): 1.5x serving (161K vs 109K frames/s) and
-        +28% training throughput vs the reference's H8, at +2.7 pts mean
-        accuracy across the 3-seed synthetic gate (d_head=16 on a 128-lane
-        MXU is the reference architecture's measured performance ceiling;
-        head_variant_validation.json for the accuracy evidence)."""
+        +28% training throughput vs the reference's H8 (d_head=16 on a
+        128-lane MXU is the reference architecture's measured performance
+        ceiling). Accuracy: no regression detected on the synthetic-proxy
+        gate (head_variant_validation.json) — the gate's per-seed spread
+        overlaps H8's, so treat it as "no evidence of harm", not proof of
+        a gain; validate on the real 19-class task before deploying."""
         cfg = cls.vit_reference()
         cfg = _apply_overrides(cfg, {"model.n_head": 4})
         return _apply_overrides(cfg, overrides)

@@ -245,11 +245,14 @@ def preprocess_batch_mdf(x: jnp.ndarray, H: int = 32, W: int = 32,
     max, phase image [B, 1, H, W] scaled by pi, iq sequence [B, L, 2]).
 
     With `stats` (the dataset i/q mean/std dict), the I/Q channels are
-    z-scored FIRST and amplitude/phase derive from the normalized signal —
-    the notebook's exact cell-7 semantics. Without stats the raw signal is
-    used (amp is per-frame max-scaled either way, so only the relative
-    channel weighting differs). L must equal H*W (1024 = 32x32 in the
-    notebook). The notebook's CNN-LSTM consumer
+    z-scored FIRST and amplitude/phase derive from the normalized signal.
+    The notebook normalizes amplitude by a DATASET-level scalar
+    `norm_stats['amp_max']` (amp_all.max(), cell 7) — pass that scalar as
+    `stats['amp_max']` to get the exact cell-7 semantics (cross-frame
+    amplitude scale preserved). Without `amp_max` in stats (or with
+    stats=None) each frame is rescaled by its own max — scale-invariant
+    features, a deliberate departure from the notebook. L must equal H*W
+    (1024 = 32x32 in the notebook). The notebook's CNN-LSTM consumer
     (`CNN_LSTM_new.create_multi_domain_model`) is missing from the reference
     tree (SURVEY.md §2.7); a capability-equivalent reconstruction of its
     contract lives in `vitiq.models.mdf`.
@@ -264,7 +267,10 @@ def preprocess_batch_mdf(x: jnp.ndarray, H: int = 32, W: int = 32,
         ], axis=-1)
     i_sig, q_sig = x[..., 0], x[..., 1]
     amp = jnp.sqrt(i_sig * i_sig + q_sig * q_sig)
-    amp_max = jnp.maximum(jnp.max(amp, axis=-1, keepdims=True), 1e-8)
+    if stats is not None and "amp_max" in stats:
+        amp_max = jnp.maximum(jnp.asarray(stats["amp_max"], amp.dtype), 1e-8)
+    else:
+        amp_max = jnp.maximum(jnp.max(amp, axis=-1, keepdims=True), 1e-8)
     amp_img = (amp / amp_max).reshape(B, 1, H, W)
     phase_img = (jnp.arctan2(q_sig, i_sig) / jnp.pi).reshape(B, 1, H, W)
     return amp_img, phase_img, x

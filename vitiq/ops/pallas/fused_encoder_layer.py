@@ -1416,7 +1416,7 @@ def _fused_layer_kernel_v3_w8(
     x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
     g1_ref, be1_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     g2_ref, be2_ref, o_ref, attn_scratch, nums_scratch, dens_scratch,
-    *, seq_len: int, n_head: int, vpu_tail: bool = True,
+    *, seq_len: int, n_head: int, vpu_tail: bool = False,
 ):
     """v3 attention + INT8 weight GEMMs (W8A8: per-out-channel weight scales,
     dynamic per-row activation scales). The attention core stays the bf16 v3
@@ -1483,6 +1483,8 @@ def fused_encoder_layer_v3_int8_stack(
     With cls_only, the final layer runs the bf16 CLS-only kernel on
     dequantized weights (exact same quantized values; the 8-row tail is not
     worth an int8 twin)."""
+    import os
+
     B, L, D = x.shape
     seq_len = L if seq_len is None else seq_len
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
@@ -1501,6 +1503,10 @@ def fused_encoder_layer_v3_int8_stack(
 
     scale = _LOG2E2 / ((D // n_head) ** 0.5)
     full_layers = qlayers[:-1] if cls_only else qlayers
+    # same VITIQ_V3_TAIL gating as the bf16 v3 stack (default OFF — the
+    # tail-key rework is a measured net loss, docs/BENCHMARKS.md)
+    _tail_env = os.environ.get("VITIQ_V3_TAIL", "0")
+    vpu_tail = "drop" if _tail_env == "drop" else _tail_env != "0"
 
     def layer_operands(ql):
         ap = ql["attention"]
@@ -1541,7 +1547,7 @@ def fused_encoder_layer_v3_int8_stack(
                 _fused_layer_kernel_v3_w8(
                     src, *weight_refs[c * N_OPS:(c + 1) * N_OPS],
                     o_ref, attn_scratch, nums_s, dens_s,
-                    seq_len=seq_len, n_head=n_head,
+                    seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
                 )
 
         xp = pl.pallas_call(

@@ -152,7 +152,9 @@ def make_quantized_forward(cfg, attention_fn: Callable | None = None) -> Callabl
             feat = x[:, 0]
         else:
             feat = x[:, 0] if cfg.use_cls_token else jnp.mean(x, axis=1)
-            feat = layer_norm_apply(qparams["head_norm"], feat)
+            # torch nn.LayerNorm default eps=1e-5, matching the float path
+            # (vitiq/models/amc.py:75; ref: transformer_rawIQ.py:68)
+            feat = layer_norm_apply(qparams["head_norm"], feat, eps=1e-5)
         # head stays float for accuracy (tiny GEMM)
         logits = linear_apply(qparams["mlp_head"], feat)
         return logits.astype(jnp.float32)
