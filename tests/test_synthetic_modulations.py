@@ -1,0 +1,150 @@
+"""The extended synthetic modulation suite: full 24-class RadioML coverage
+(19 digital incl. ASK/APSK/cross-QAM/GMSK/OQPSK + 5 analog), the round-2 gap
+blocking the strongest-achievable accuracy proxy (class lists:
+ref ViT/training/train.py:60-80, ViT/training/evaluate.py:69-74)."""
+
+import numpy as np
+import pytest
+
+from vitiq.config import TARGET_MODULATIONS_19, TARGET_MODULATIONS_24
+from vitiq.data.synthetic import (
+    _CONSTELLATIONS,
+    SYNTHETIC_MODULATIONS,
+    SyntheticAMCDataset,
+    generate_frames,
+)
+
+
+class TestModulationCoverage:
+    def test_all_24_reference_classes_supported(self):
+        for mod in TARGET_MODULATIONS_24:
+            assert mod in SYNTHETIC_MODULATIONS, mod
+
+    def test_constellation_sizes(self):
+        sizes = {"OOK": 2, "4ASK": 4, "8ASK": 8, "BPSK": 2, "QPSK": 4,
+                 "8PSK": 8, "16PSK": 16, "32PSK": 32, "16APSK": 16,
+                 "32APSK": 32, "64APSK": 64, "128APSK": 128, "16QAM": 16,
+                 "32QAM": 32, "64QAM": 64, "128QAM": 128, "256QAM": 256}
+        for mod, n in sizes.items():
+            pts = _CONSTELLATIONS[mod]
+            assert len(pts) == n, mod
+            assert len(np.unique(np.round(pts, 9))) == n, f"{mod} has duplicate points"
+
+    def test_constellations_unit_power(self):
+        for mod, pts in _CONSTELLATIONS.items():
+            assert np.mean(np.abs(pts) ** 2) == pytest.approx(1.0, rel=1e-9), mod
+
+
+class TestGenerateFrames:
+    @pytest.mark.parametrize("mod", SYNTHETIC_MODULATIONS)
+    def test_shape_finite_unit_power(self, mod):
+        rng = np.random.default_rng(0)
+        sig = generate_frames(mod, 4, 128, rng)
+        assert sig.shape == (4, 128)
+        assert np.isfinite(sig).all()
+        # constellation draws are unit power in EXPECTATION (per-frame power
+        # varies with the constellation's PAPR over 128 draws); waveform
+        # classes are per-frame normalized exactly
+        p = np.mean(np.abs(sig) ** 2)
+        np.testing.assert_allclose(p, 1.0, rtol=0.1)
+
+    def test_gmsk_constant_envelope_and_phase_continuity(self):
+        rng = np.random.default_rng(1)
+        sig = generate_frames("GMSK", 2, 256, rng)
+        np.testing.assert_allclose(np.abs(sig), 1.0, atol=1e-9)
+        # phase steps bounded by ~pi/2 per sample (1 sample/bit, h=0.5)
+        dphi = np.angle(sig[:, 1:] * np.conj(sig[:, :-1]))
+        assert np.abs(dphi).max() <= 0.5 * np.pi + 1e-6
+
+    def test_fm_constant_envelope(self):
+        sig = generate_frames("FM", 2, 256, np.random.default_rng(2))
+        np.testing.assert_allclose(np.abs(sig), 1.0, atol=1e-9)
+
+    def test_ook_has_off_symbols(self):
+        sig = generate_frames("OOK", 2, 512, np.random.default_rng(3))
+        frac_off = np.mean(np.abs(sig) < 1e-6)
+        assert 0.35 < frac_off < 0.65  # ~half the symbols are 'off'
+
+    def test_am_dsb_is_one_dimensional(self):
+        """DSB baseband lives on the real line (before channel rotation)."""
+        sig = generate_frames("AM-DSB-SC", 2, 256, np.random.default_rng(4))
+        assert np.abs(sig.imag).max() < 1e-9
+
+    def test_am_ssb_is_one_sided(self):
+        sig = generate_frames("AM-SSB-SC", 2, 256, np.random.default_rng(5))
+        spec = np.abs(np.fft.fft(sig, axis=-1)) ** 2
+        neg = spec[:, 129:].sum()
+        pos = spec[:, 1:128].sum()
+        assert neg < 0.01 * pos
+
+    def test_oqpsk_differs_from_qpsk_in_quadrature_timing(self):
+        """OQPSK's Q samples sit mid-transition: the |Q| histogram spreads
+        while plain QPSK's |Q| concentrates at 1/sqrt(2)."""
+        rng = np.random.default_rng(6)
+        oq = generate_frames("OQPSK", 8, 256, rng)
+        qp = generate_frames("QPSK", 8, 256, np.random.default_rng(6))
+        spread_oq = np.std(np.abs(oq.imag))
+        spread_qp = np.std(np.abs(qp.imag))
+        assert spread_oq > 2.0 * spread_qp
+
+    def test_shaping_sps_oversamples(self):
+        """RRC-shaped sps=2 frames: L/2 symbols, energy concentrated at the
+        symbol decimation phase."""
+        rng = np.random.default_rng(7)
+        sig = generate_frames("QPSK", 8, 256, rng, shaping_sps=2)
+        assert sig.shape == (8, 256)
+        # the spectrum must roll off (bandlimited by the RRC), unlike iid
+        spec = np.abs(np.fft.fft(sig, axis=-1)).mean(axis=0)
+        edge = np.fft.fftshift(spec)[:32].mean()       # band edge
+        center = np.fft.fftshift(spec)[112:144].mean()  # band center
+        assert center > 3.0 * edge
+
+    def test_unknown_modulation_raises(self):
+        with pytest.raises(ValueError):
+            generate_frames("zap", 1, 64, np.random.default_rng(0))
+
+
+class TestDataset19Class:
+    def test_builds_all_19(self):
+        ds = SyntheticAMCDataset(classes=TARGET_MODULATIONS_19,
+                                 frames_per_class=4, frame_len=64,
+                                 snrs_db=(10.0,), seed=0)
+        assert ds.X.shape == (19 * 4, 64, 2)
+        assert set(np.unique(ds.Y)) == set(range(19))
+        assert np.isfinite(ds.X).all()
+
+    def test_deterministic(self):
+        a = SyntheticAMCDataset(classes=("GMSK", "OQPSK", "FM"),
+                                frames_per_class=4, frame_len=64, seed=9)
+        b = SyntheticAMCDataset(classes=("GMSK", "OQPSK", "FM"),
+                                frames_per_class=4, frame_len=64, seed=9)
+        np.testing.assert_array_equal(a.X, b.X)
+        np.testing.assert_array_equal(a.Y, b.Y)
+
+    def test_easy_classes_learnable(self):
+        """OOK vs BPSK vs FM at high SNR: a tiny model separates them fast —
+        the waveform classes carry real signal, not noise."""
+        import jax
+
+        from vitiq.config import DataConfig, ExperimentConfig, ModelConfig, TrainConfig
+        from vitiq.dsp import preprocess_batch_amplitude_phase
+        from vitiq.models import init_amc_params, make_forward
+        from vitiq.train import fit
+
+        ds = SyntheticAMCDataset(classes=("OOK", "BPSK", "FM"),
+                                 frames_per_class=256, frame_len=128,
+                                 snrs_db=(20.0,), seed=1)
+        split = int(0.8 * len(ds))
+        cfg = ExperimentConfig(
+            model=ModelConfig(arm="rawiq", num_classes=3, d_model=32, n_head=4,
+                              n_layers=2, ffn_hidden=64, drop_prob=0.1,
+                              seq_length=128, segment_size=16),
+            data=DataConfig(source="synthetic"),
+            train=TrainConfig(batch_size=64, num_epochs=10, learning_rate=1e-3),
+        )
+        fwd = make_forward(cfg.model)
+        params = init_amc_params(jax.random.PRNGKey(0), cfg.model)
+        res = fit(cfg, fwd, params, (ds.X[:split], ds.Y[:split]),
+                  (ds.X[split:], ds.Y[split:]),
+                  preprocess_fn=preprocess_batch_amplitude_phase, verbose=False)
+        assert max(res.history["val_acc"]) > 0.7

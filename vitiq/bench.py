@@ -263,6 +263,42 @@ def bench_dsp_frontend(batch_size: Optional[int] = None, steps: int = 30,
     }
 
 
+def bench_sps_infer(batch_size: Optional[int] = None, steps: int = 30,
+                    sps: int = 2, method: str = "gardner") -> Dict:
+    """BASELINE config 3 end-to-end: oversampled [B, sps*1024, 2] frames ->
+    RRC matched filter -> timing recovery (`method`) -> z-score -> flagship
+    rawIQ classifier, all in ONE jit (the reference's deleted DSP suite ran
+    frame-at-a-time on the host; here Gardner/Mueller-Müller are vmapped
+    lax.scan loops and the energy/correlation picks are pure vector ops,
+    SURVEY.md §2.4)."""
+    from vitiq.dsp import preprocess_batch_sps
+
+    batch_size = batch_size or max(_default_batch() // 2, 64)
+    cfg = flagship_rawiq_config("tpu")
+    params = init_amc_params(jax.random.PRNGKey(0), cfg)
+    fwd = make_forward(cfg)
+
+    def infer(i, params, x):
+        xi = x + i.astype(x.dtype) * 1e-6
+        sym = preprocess_batch_sps(xi, sps, method=method)
+        return fwd(params, preprocess_batch_rawiq(sym, FLAGSHIP_STATS),
+                   train=False).argmax(axis=-1)
+
+    x = jax.device_put(jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch_size, sps * cfg.seq_length, 2)), jnp.float32))
+    t = _time_amortized(infer, (params, x), steps, _default_inner())
+    return {
+        "metric": f"sps{sps}_{method}_frames_per_sec_per_chip",
+        "value": batch_size / t["p50_s"],
+        "unit": "frames/s",
+        "batch_size": batch_size,
+        "sps": sps,
+        "timing_method": method,
+        "p50_latency_ms": t["p50_s"] * 1e3,
+        "backend": jax.default_backend(),
+    }
+
+
 def bench_ingestion(num_frames: int = 65536, frame_len: int = 1024,
                     batch_size: int = 1024, tmp_dir: Optional[str] = None) -> Dict:
     """Host ingestion throughput: HDF5 chunked-shuffled streaming vs packed
@@ -430,7 +466,8 @@ def bench_streaming(num_channels: int = 64, windows: Optional[int] = None,
 
 def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = None,
                    steps: int = 30, n_head: Optional[int] = None,
-                   data_parallel: Optional[int] = None) -> Dict:
+                   data_parallel: Optional[int] = None, sps: int = 2,
+                   timing_method: Optional[str] = None) -> Dict:
     if which == "head_variant":
         # d_head = d_model / n_head roofline variant (default d_head=32)
         return bench_fused_infer("vit", batch_size, steps, n_head=n_head or 4,
@@ -450,6 +487,9 @@ def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = N
         return bench_train_step("vit", batch_size, steps)
     if which == "dsp_frontend":
         return bench_dsp_frontend(batch_size, steps)
+    if which == "sps_infer":
+        return bench_sps_infer(batch_size, steps, sps=sps,
+                               method=timing_method or "gardner")
     if which == "ingestion":
         return bench_ingestion()
     if which == "e2e_serving":

@@ -28,6 +28,23 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                         "spectrogram images (vit)")
     p.add_argument("--file_path", type=str, help="Path to HDF5 data file")
     p.add_argument("--json_path", type=str, help="Path to classes JSON file")
+    p.add_argument("--sps", type=int, default=None,
+                   help="samples per symbol: 1 = RadioML bypass (default); "
+                        ">=2 runs the RRC matched-filter + timing-recovery "
+                        "front-end inside the jitted step (BASELINE config 3)")
+    p.add_argument("--timing_method",
+                   choices=["simple_energy", "simple_correlation", "gardner",
+                            "mueller_muller"],
+                   default=None, help="timing recovery for --sps >= 2")
+    p.add_argument("--streaming", action="store_true", default=None,
+                   help="stream splits from the HDF5 file (out-of-core: "
+                        "bounded RSS via windowed sequential reads) instead "
+                        "of materializing them in RAM")
+    p.add_argument("--stream_window_rows", type=int,
+                   help="shuffle-window size (rows) for --streaming")
+    p.add_argument("--profile_steps", action="store_true", default=None,
+                   help="record per-step wall times; history gains "
+                        "step_p50/step_p90 and summary a StepTimer report")
     # training
     p.add_argument("--batch_size", type=int)
     p.add_argument("--num_epochs", type=int)
@@ -44,6 +61,16 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--drop_prob", type=float)
     p.add_argument("--patch_size", type=int)
     p.add_argument("--segment_size", type=int)
+    p.add_argument("--seq_length", type=int,
+                   help="rawiq arm: token-stream length the model consumes "
+                        "(= frame_len / sps)")
+    p.add_argument("--frame_len", type=int,
+                   help="synthetic source: samples per generated frame")
+    p.add_argument("--frames_per_class", type=int,
+                   help="synthetic source: frames generated per class")
+    p.add_argument("--shaping_sps", type=int,
+                   help="synthetic source: RRC-shape constellation frames at "
+                        "this oversampling (pairs with --sps)")
     p.add_argument("--embedding_type", choices=["conv1d", "segment"])
     p.add_argument("--numerics", choices=["reference", "tpu"])
     # other
@@ -67,6 +94,11 @@ def _config_from_args(args) -> ExperimentConfig:
         "data.features": args.features,
         "data.file_path": args.file_path,
         "data.json_path": args.json_path,
+        "data.streaming": args.streaming,
+        "data.stream_window_rows": args.stream_window_rows,
+        "data.sps": args.sps,
+        "data.timing_method": args.timing_method,
+        "train.profile_steps": args.profile_steps,
         "train.batch_size": args.batch_size,
         "train.num_epochs": args.num_epochs,
         "train.learning_rate": args.learning_rate,
@@ -81,6 +113,10 @@ def _config_from_args(args) -> ExperimentConfig:
         "model.drop_prob": args.drop_prob,
         "model.patch_size": args.patch_size,
         "model.segment_size": args.segment_size,
+        "model.seq_length": args.seq_length,
+        "data.synthetic_frame_len": args.frame_len,
+        "data.synthetic_frames_per_class": args.frames_per_class,
+        "data.synthetic_shaping_sps": args.shaping_sps,
         "model.embedding_type": args.embedding_type,
         "model.numerics": args.numerics,
         "experiment_name": args.experiment_name,
@@ -178,7 +214,9 @@ def cmd_bench(args) -> int:
     result = run_benchmarks(which=args.which, batch_size=args.batch_size,
                             steps=args.steps,
                             n_head=getattr(args, "n_head", None),
-                            data_parallel=getattr(args, "data_parallel", None))
+                            data_parallel=getattr(args, "data_parallel", None),
+                            sps=getattr(args, "sps", 2) or 2,
+                            timing_method=getattr(args, "timing_method", None))
     print(json.dumps(result, default=float))
     return 0
 
@@ -242,10 +280,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--which", default="fused_vit_infer",
                    choices=["fused_vit_infer", "rawiq_infer", "rawiq64_infer",
                             "conv1d_infer", "int8_infer", "train_step",
-                            "head_variant", "dsp_frontend", "ingestion",
-                            "e2e_serving", "streaming", "all"])
+                            "head_variant", "dsp_frontend", "sps_infer",
+                            "ingestion", "e2e_serving", "streaming", "all"])
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--sps", type=int, default=2,
+                   help="sps_infer: samples per symbol for the fused DSP+"
+                        "classifier bench")
+    p.add_argument("--timing_method", default=None,
+                   choices=["simple_energy", "simple_correlation", "gardner",
+                            "mueller_muller"],
+                   help="sps_infer: timing-recovery method (default gardner)")
     p.add_argument("--n_head", type=int, default=None,
                    help="head_variant: override the flagship head count "
                         "(d_head = d_model / n_head)")

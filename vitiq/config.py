@@ -135,6 +135,21 @@ class DataConfig:
     """
 
     source: str = "synthetic"  # 'synthetic' | 'hdf5'
+    # out-of-core training: stream every split from storage via windowed
+    # sequential reads (HDF5DataSource.batch_stream) instead of
+    # materializing it in RAM — REQUIRED for the real 19-class RadioML
+    # train split (~19 GB of f32 frames). RSS is bounded by
+    # stream_window_rows frames (~8 MB/1k rows at L=1024).
+    streaming: bool = False
+    stream_window_rows: int = 16384
+    # SPS-mode front-end (BASELINE config 3): sps=1 is the RadioML bypass
+    # rule (every sample is a symbol, ref: test_sps_modes.py:103-127);
+    # sps>=2 runs RRC matched filter + timing recovery INSIDE the jitted
+    # step, decimating frames to frame_len/sps symbols before the
+    # classifier. timing_method in {simple_energy, simple_correlation,
+    # gardner, mueller_muller} (ref: test_dsp_functions.py:117-156).
+    sps: int = 1
+    timing_method: str = "gardner"
     # input features: 'iq' (reference behavior for both arms), 'amp_phase'
     # (rawiq arm — the MDF-NET dual-domain transform, vitiq extension), or
     # 'spectrogram' (vit arm — STFT-image patchification, BASELINE config 2)
@@ -154,6 +169,9 @@ class DataConfig:
     synthetic_frame_len: int = 1024
     synthetic_snr_db: Tuple[float, ...] = (-8.0, 0.0, 8.0, 20.0)
     synthetic_seed: int = 0
+    # 1 = iid symbols (RadioML sps=1 rule); >=2 = RRC-shaped oversampled
+    # constellation frames for SPS-mode experiments
+    synthetic_shaping_sps: int = 1
 
     @property
     def num_classes(self) -> int:
@@ -174,6 +192,12 @@ class DataConfig:
                 errors.append(f"HDF5 file not found: {self.file_path}")
             if self.json_path and not Path(self.json_path).exists():
                 errors.append(f"classes JSON not found: {self.json_path}")
+        if self.sps < 1:
+            errors.append(f"sps must be >= 1, got {self.sps}")
+        _methods = ("simple_energy", "simple_correlation", "gardner", "mueller_muller")
+        if self.timing_method not in _methods:
+            errors.append(
+                f"timing_method must be one of {_methods}, got {self.timing_method!r}")
         if errors:
             raise ValueError("DataConfig validation failed:\n" + "\n".join(f"  - {e}" for e in errors))
 
@@ -202,6 +226,12 @@ class TrainConfig:
     init_seed: int = 0
     dropout_seed: int = 1
     shuffle_seed: int = 2
+    # host->device feeding: background-prefetch queue depth (parity with the
+    # reference loader's prefetch_factor=3, ref: ViT/training/train.py:99)
+    prefetch_depth: int = 3
+    # record dispatch-synchronized per-step wall times (StepTimer) and emit
+    # per-epoch step_p50/step_p90 into history
+    profile_steps: bool = False
     # parallelism: number of mesh devices along the data / model axes
     data_parallel: int = 1
     model_parallel: int = 1
@@ -241,17 +271,25 @@ class ExperimentConfig:
             )
         if self.data.source == "synthetic":
             frame_len = self.data.synthetic_frame_len
-            if self.model.arm == "rawiq" and self.model.seq_length != frame_len:
+            if frame_len % self.data.sps:
                 raise ValueError(
-                    f"model.seq_length ({self.model.seq_length}) != "
-                    f"data.synthetic_frame_len ({frame_len})"
+                    f"data.synthetic_frame_len ({frame_len}) must be a multiple "
+                    f"of data.sps ({self.data.sps})"
+                )
+            # the model consumes the post-SPS symbol stream (L/sps symbols)
+            eff_len = frame_len // self.data.sps
+            if self.model.arm == "rawiq" and self.model.seq_length != eff_len:
+                raise ValueError(
+                    f"model.seq_length ({self.model.seq_length}) != effective "
+                    f"frame length ({eff_len} = synthetic_frame_len {frame_len}"
+                    f" / sps {self.data.sps})"
                 )
             if self.model.arm == "vit" and (
-                self.model.img_size_h * self.model.img_size_w != 2 * frame_len
+                self.model.img_size_h * self.model.img_size_w != 2 * eff_len
             ):
                 raise ValueError(
                     f"ViT image {self.model.img_size_h}x{self.model.img_size_w} must "
-                    f"hold 2*frame_len = {2 * frame_len} values"
+                    f"hold 2*(frame_len/sps) = {2 * eff_len} values"
                 )
 
     # ---- JSON round-trip -------------------------------------------------
@@ -318,6 +356,40 @@ class ExperimentConfig:
         a gain; validate on the real 19-class task before deploying."""
         cfg = cls.vit_reference()
         cfg = _apply_overrides(cfg, {"model.n_head": 4})
+        return _apply_overrides(cfg, overrides)
+
+    @classmethod
+    def vit_synthetic19(cls, **overrides) -> "ExperimentConfig":
+        """The reference ViT arm at the reference training regime (batch 256,
+        plateau LR, early stop) on the 19-class SYNTHETIC proxy corpus — the
+        strongest accuracy proxy buildable without the 20 GB RadioML download:
+        same class list (ref: ViT/training/train.py:60-80), full constellation
+        geometry incl. ASK/APSK/cross-QAM, GMSK/OQPSK waveform synthesis
+        (vitiq/data/synthetic.py), SNR grid spanning the -8/0/+8 dB eval
+        targets."""
+        cfg = cls.vit_reference()
+        cfg.data = DataConfig(
+            source="synthetic",
+            synthetic_classes=TARGET_MODULATIONS_19,
+            synthetic_frames_per_class=2048,
+            synthetic_snr_db=(-8.0, -4.0, 0.0, 4.0, 8.0, 12.0, 16.0, 20.0),
+        )
+        cfg.experiment_name = "vit_synthetic19"
+        return _apply_overrides(cfg, overrides)
+
+    @classmethod
+    def rawiq_synthetic19(cls, **overrides) -> "ExperimentConfig":
+        """The reference rawIQ arm on the 19-class synthetic proxy corpus
+        (see vit_synthetic19); the head-to-head pair for the two-arm
+        comparison at the reference regime."""
+        cfg = cls.rawiq_reference()
+        cfg.data = DataConfig(
+            source="synthetic",
+            synthetic_classes=TARGET_MODULATIONS_19,
+            synthetic_frames_per_class=2048,
+            synthetic_snr_db=(-8.0, -4.0, 0.0, 4.0, 8.0, 12.0, 16.0, 20.0),
+        )
+        cfg.experiment_name = "rawiq_synthetic19"
         return _apply_overrides(cfg, overrides)
 
     @classmethod

@@ -1,0 +1,131 @@
+"""Batch feeds: the uniform interface between data sources and fit()/eval.
+
+The reference streams its 20 GB corpus through 6 forked DataLoader workers
+(ref: ViT/training/train.py:346-366); the in-RAM path materializes whole
+splits. A `DataFeed` abstracts over both so the SAME `fit()` loop trains
+either way:
+
+  * `ArrayFeed`  — splits that fit in RAM (synthetic corpora, small HDF5).
+  * `StreamFeed` — out-of-core splits: wraps any per-epoch batch-iterator
+    factory (e.g. `HDF5DataSource.batch_stream`'s windowed sequential reads
+    or `PackedDataSource.batch_stream` over mmap shards). RSS stays bounded
+    by the window size; randomness is epoch-deterministic (window-order
+    shuffle + within-window permutation, seeded by `shuffle_seed + epoch`).
+
+Both feeds yield host numpy batches; `fit()` wraps them in
+`vitiq.data.pipeline.device_prefetch`, so the H2D DMA for step N+1 overlaps
+compute for step N regardless of the storage path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional, Tuple
+
+import numpy as np
+
+Batch = Tuple[np.ndarray, np.ndarray]                     # (x, y)
+EvalBatch = Tuple[np.ndarray, np.ndarray, np.ndarray]     # (x, y, valid_mask)
+RawBatch = Tuple[np.ndarray, np.ndarray, np.ndarray]      # (x, y, snr)
+
+
+def _pad_eval(bx: np.ndarray, by: np.ndarray, batch_size: int) -> EvalBatch:
+    """Pad a (possibly partial) final batch to full size with a valid mask so
+    jitted eval shapes stay trace-stable and padded rows score as zero."""
+    n_valid = len(bx)
+    if n_valid < batch_size:
+        pad = batch_size - n_valid
+        bx = np.concatenate([bx, np.zeros((pad,) + bx.shape[1:], bx.dtype)])
+        by = np.concatenate([by, np.zeros((pad,), by.dtype)])
+    mask = np.zeros(batch_size, np.float32)
+    mask[:n_valid] = 1.0
+    return bx, by, mask
+
+
+class DataFeed:
+    """Interface: per-epoch shuffled train batches + padded eval batches +
+    raw (x, y, snr) batches for confusion-matrix evaluation."""
+
+    num_samples: int
+
+    def train_batches(self, epoch: int, batch_size: int) -> Iterator[Batch]:
+        raise NotImplementedError
+
+    def eval_batches(self, batch_size: int) -> Iterator[EvalBatch]:
+        raise NotImplementedError
+
+    def raw_batches(self, batch_size: int) -> Iterator[RawBatch]:
+        """Sequential un-padded (x, y, snr) batches (final may be partial)."""
+        raise NotImplementedError
+
+
+class ArrayFeed(DataFeed):
+    """In-RAM feed over (x, y[, snr]) arrays.
+
+    Train shuffling is a full permutation seeded `shuffle_seed + epoch` —
+    epoch-deterministic, so a resumed run at epoch E sees the exact batch
+    order the uninterrupted run would have.
+    """
+
+    def __init__(self, x: np.ndarray, y: np.ndarray,
+                 snr: Optional[np.ndarray] = None, shuffle_seed: int = 0):
+        self.x, self.y = x, y
+        self.snr = snr if snr is not None else np.zeros(len(x), np.float32)
+        self.shuffle_seed = shuffle_seed
+        self.num_samples = len(x)
+
+    def train_batches(self, epoch: int, batch_size: int) -> Iterator[Batch]:
+        rng = np.random.default_rng(self.shuffle_seed + epoch)
+        perm = rng.permutation(self.num_samples)
+        for start in range(0, self.num_samples - batch_size + 1, batch_size):
+            idx = perm[start:start + batch_size]
+            yield self.x[idx], self.y[idx]
+
+    def eval_batches(self, batch_size: int) -> Iterator[EvalBatch]:
+        for start in range(0, self.num_samples, batch_size):
+            yield _pad_eval(self.x[start:start + batch_size],
+                            self.y[start:start + batch_size], batch_size)
+
+    def raw_batches(self, batch_size: int) -> Iterator[RawBatch]:
+        for start in range(0, self.num_samples, batch_size):
+            sl = slice(start, start + batch_size)
+            yield self.x[sl], self.y[sl], self.snr[sl]
+
+
+class StreamFeed(DataFeed):
+    """Out-of-core feed over a per-epoch batch-iterator factory.
+
+    `make_iter(batch_size, shuffle, seed, drop_last)` must yield raw
+    (x, y, snr) batches — exactly `HDF5DataSource.batch_stream`'s /
+    `PackedDataSource.batch_stream`'s contract. Epoch determinism comes from
+    seeding each epoch's iterator with `shuffle_seed + epoch`.
+    """
+
+    def __init__(self, make_iter: Callable[..., Iterator[RawBatch]],
+                 num_samples: int, shuffle_seed: int = 0):
+        self._make_iter = make_iter
+        self.num_samples = num_samples
+        self.shuffle_seed = shuffle_seed
+
+    def train_batches(self, epoch: int, batch_size: int) -> Iterator[Batch]:
+        it = self._make_iter(batch_size=batch_size, shuffle=True,
+                             seed=self.shuffle_seed + epoch, drop_last=True)
+        for bx, by, _ in it:
+            yield bx, by
+
+    def eval_batches(self, batch_size: int) -> Iterator[EvalBatch]:
+        it = self._make_iter(batch_size=batch_size, shuffle=False,
+                             seed=0, drop_last=False)
+        for bx, by, _ in it:
+            yield _pad_eval(bx, by, batch_size)
+
+    def raw_batches(self, batch_size: int) -> Iterator[RawBatch]:
+        return self._make_iter(batch_size=batch_size, shuffle=False,
+                               seed=0, drop_last=False)
+
+
+def as_feed(data, shuffle_seed: int = 0) -> DataFeed:
+    """Coerce fit()'s `train_data`/`valid_data` argument: a DataFeed passes
+    through; an (x, y) or (x, y, snr) tuple becomes an ArrayFeed."""
+    if isinstance(data, DataFeed):
+        return data
+    return ArrayFeed(*data, shuffle_seed=shuffle_seed)

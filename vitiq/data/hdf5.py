@@ -210,3 +210,40 @@ class PackedDataSource:
             m = shard_ids == sid
             out[m] = self._shards[sid][offsets[m]]
         return out
+
+    def batch_stream(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """One epoch of (x, y, snr) batches; same contract as
+        HDF5DataSource.batch_stream. Each mmap shard is one shuffle window:
+        shard order and within-shard row order are both permuted under
+        `seed`, and only one shard's rows are resident at a time, so RSS is
+        bounded by shard_rows regardless of split size."""
+        rng = np.random.default_rng(seed)
+        shard_order = np.arange(len(self._shards))
+        if shuffle:
+            rng.shuffle(shard_order)
+        leftover = None
+        for sid in shard_order:
+            start_row = int(sid) * self.shard_rows
+            n_rows = self._shards[sid].shape[0]
+            order = rng.permutation(n_rows) if shuffle else np.arange(n_rows)
+            x = np.asarray(self._shards[sid])[order]  # one sequential read
+            y = self.y[start_row + order]
+            z = self.z[start_row + order]
+            if leftover is not None:
+                x = np.concatenate([leftover[0], x])
+                y = np.concatenate([leftover[1], y])
+                z = np.concatenate([leftover[2], z])
+                leftover = None
+            n_full = (len(x) // batch_size) * batch_size
+            for b in range(0, n_full, batch_size):
+                yield x[b:b + batch_size], y[b:b + batch_size], z[b:b + batch_size]
+            if n_full < len(x):
+                leftover = (x[n_full:], y[n_full:], z[n_full:])
+        if leftover is not None and not drop_last:
+            yield leftover

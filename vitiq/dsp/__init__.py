@@ -29,6 +29,7 @@ from vitiq.dsp.frontend import (  # noqa: F401
     extract_symbols,
     preprocess_batch_amplitude_phase, preprocess_batch_mdf,
     preprocess_batch_rawiq,
+    preprocess_batch_sps,
     preprocess_batch_spectrogram,
     preprocess_batch_vit_spectrogram,
     preprocess_batch_vit,

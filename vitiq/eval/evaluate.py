@@ -45,6 +45,24 @@ def predict_all(
     are placed per the TP rules, so jit's partitioner scales inference across
     ICI exactly like the sharded train step (the reference has no distributed
     serving at all — SURVEY.md §2.9)."""
+    step, params, sharding = _make_predict_step(
+        forward_fn, params, preprocess_fn, mesh, batch_size)
+
+    n = len(x)
+    preds = np.empty(n, dtype=np.int64)
+    for start in range(0, n, batch_size):
+        bx = x[start:start + batch_size]
+        n_valid = len(bx)
+        if n_valid < batch_size:
+            bx = np.concatenate([bx, np.zeros((batch_size - n_valid,) + bx.shape[1:], bx.dtype)])
+        if sharding is not None:
+            bx = jax.device_put(bx, sharding)
+        preds[start:start + n_valid] = np.asarray(step(params, bx))[:n_valid]
+    return preds
+
+
+def _make_predict_step(forward_fn, params, preprocess_fn, mesh, batch_size):
+    """Shared jitted argmax step + (sharding, params) placement for a mesh."""
     if mesh is not None:
         from vitiq.parallel.mesh import batch_sharding, shard_params
 
@@ -62,17 +80,43 @@ def predict_all(
         inputs = preprocess_fn(bx) if preprocess_fn is not None else bx
         return forward_fn(params, inputs, train=False).argmax(axis=-1)
 
-    n = len(x)
-    preds = np.empty(n, dtype=np.int64)
-    for start in range(0, n, batch_size):
-        bx = x[start:start + batch_size]
-        n_valid = len(bx)
-        if n_valid < batch_size:
-            bx = np.concatenate([bx, np.zeros((batch_size - n_valid,) + bx.shape[1:], bx.dtype)])
-        if sharding is not None:
-            bx = jax.device_put(bx, sharding)
-        preds[start:start + n_valid] = np.asarray(step(params, bx))[:n_valid]
-    return preds
+    return step, params, sharding
+
+
+def predict_feed(
+    forward_fn: Callable,
+    params,
+    feed,
+    batch_size: int,
+    preprocess_fn: Optional[Callable] = None,
+    mesh=None,
+    prefetch_depth: int = 3,
+):
+    """Streaming predictions over a DataFeed's raw (x, y, snr) batches.
+
+    Returns (preds, labels, snrs) numpy arrays — the whole split never has
+    to be resident; only `prefetch_depth + 1` batches are live at once."""
+    from vitiq.data.pipeline import Prefetcher
+
+    step, params, sharding = _make_predict_step(
+        forward_fn, params, preprocess_fn, mesh, batch_size)
+
+    def padded():
+        for bx, by, bz in feed.raw_batches(batch_size):
+            n_valid = len(bx)
+            if n_valid < batch_size:
+                bx = np.concatenate(
+                    [bx, np.zeros((batch_size - n_valid,) + bx.shape[1:], bx.dtype)])
+            dev_bx = jax.device_put(bx, sharding) if sharding is not None else bx
+            yield dev_bx, by, bz, n_valid
+
+    preds_parts, label_parts, snr_parts = [], [], []
+    for bx, by, bz, n_valid in Prefetcher(padded(), prefetch_depth=prefetch_depth):
+        preds_parts.append(np.asarray(step(params, bx))[:n_valid])
+        label_parts.append(np.asarray(by))
+        snr_parts.append(np.asarray(bz))
+    return (np.concatenate(preds_parts), np.concatenate(label_parts),
+            np.concatenate(snr_parts))
 
 
 def evaluate_model_with_confusion(
@@ -94,12 +138,54 @@ def evaluate_model_with_confusion(
     """Full evaluation; returns the reference's result dict
     (overall_accuracy, snr_accuracies, confusion_matrix, predictions, labels,
     snrs — ref: ViT/training/utils.py:459-466)."""
-    save_dir = Path(save_dir)
-    save_dir.mkdir(parents=True, exist_ok=True)
     labels = np.asarray(labels)
     snrs = np.asarray(snrs)
-
     preds = predict_all(forward_fn, params, x, batch_size, preprocess_fn, mesh=mesh)
+    return confusion_artifacts(preds, labels, snrs, class_names, save_dir,
+                               prefix=prefix, save_pickle=save_pickle,
+                               make_plots=make_plots, verbose=verbose)
+
+
+def evaluate_feed_with_confusion(
+    forward_fn: Callable,
+    params,
+    feed,
+    class_names: Sequence[str],
+    save_dir: str | Path,
+    prefix: str = "test",
+    batch_size: int = 256,
+    preprocess_fn: Optional[Callable] = None,
+    save_pickle: bool = True,
+    make_plots: bool = True,
+    verbose: bool = True,
+    mesh=None,
+) -> Dict:
+    """evaluate_model_with_confusion over a DataFeed — the streaming twin
+    used by out-of-core runs (cfg.data.streaming): predictions accumulate
+    batch-by-batch, the frames themselves are never all resident."""
+    preds, labels, snrs = predict_feed(forward_fn, params, feed, batch_size,
+                                       preprocess_fn, mesh=mesh)
+    return confusion_artifacts(preds, labels, snrs, class_names, save_dir,
+                               prefix=prefix, save_pickle=save_pickle,
+                               make_plots=make_plots, verbose=verbose)
+
+
+def confusion_artifacts(
+    preds: np.ndarray,
+    labels: np.ndarray,
+    snrs: np.ndarray,
+    class_names: Sequence[str],
+    save_dir: str | Path,
+    prefix: str = "test",
+    save_pickle: bool = True,
+    make_plots: bool = True,
+    verbose: bool = True,
+) -> Dict:
+    """Steps 1-4 of the reference's evaluate_model_with_confusion given
+    predictions: CMs, report txt, acc-vs-SNR plot, pickle
+    (ref: ViT/training/utils.py:284-466)."""
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
 
     # 1. overall confusion matrix
     if make_plots:

@@ -26,6 +26,7 @@ import numpy as np
 
 from vitiq.config import ExperimentConfig
 from vitiq.data import HDF5DataSource, SyntheticAMCDataset, stats_from_array
+from vitiq.data.feeds import ArrayFeed, DataFeed, StreamFeed
 from vitiq.dsp import preprocess_batch_rawiq, preprocess_batch_vit
 from vitiq.models import count_parameters, init_amc_params, make_forward
 from vitiq.train import fit, load_checkpoint, save_checkpoint
@@ -34,7 +35,25 @@ from vitiq.train.optim import create_train_state
 
 
 def build_preprocess(cfg: ExperimentConfig, stats: Dict[str, float]) -> Callable:
-    """The fused front-end matching the arm: raw [B, L, 2] -> model input."""
+    """The fused front-end matching the arm: raw [B, L, 2] -> model input.
+
+    With cfg.data.sps >= 2 (BASELINE config 3) the SPS front-end runs FIRST,
+    inside the same jit: RRC matched filter + timing recovery decimate each
+    frame to L/sps symbols, and the arm preprocessing consumes the symbol
+    stream. Normalization stats are computed on the RAW frames; the RRC taps
+    are unit-energy (vitiq/dsp/taps.py), so symbol-instant scale is preserved
+    and the raw-frame z-score stays calibrated (the matched filter only
+    removes out-of-band noise)."""
+    arm_pre = _build_arm_preprocess(cfg, stats)
+    if cfg.data.sps <= 1:
+        return arm_pre
+    from vitiq.dsp import preprocess_batch_sps
+
+    sps, method = cfg.data.sps, cfg.data.timing_method
+    return lambda x: arm_pre(preprocess_batch_sps(x, sps, method=method))
+
+
+def _build_arm_preprocess(cfg: ExperimentConfig, stats: Dict[str, float]) -> Callable:
     if cfg.model.arm == "vit":
         if cfg.data.features == "spectrogram":
             from vitiq.dsp import preprocess_batch_vit_spectrogram
@@ -78,6 +97,7 @@ def load_experiment_data(cfg: ExperimentConfig):
             frame_len=cfg.data.synthetic_frame_len,
             snrs_db=cfg.data.synthetic_snr_db,
             seed=cfg.data.synthetic_seed,
+            shaping_sps=cfg.data.synthetic_shaping_sps,
         )
         n = len(ds)
         n_train = int(cfg.data.train_size * n)
@@ -95,6 +115,42 @@ def load_experiment_data(cfg: ExperimentConfig):
     return splits, stats, class_names
 
 
+def load_experiment_feeds(cfg: ExperimentConfig):
+    """Returns (feeds dict of DataFeed, stats, class_names).
+
+    With cfg.data.streaming (hdf5 source), each split becomes a StreamFeed
+    over windowed sequential HDF5 reads — the out-of-core path that trains
+    the real ~19 GB RadioML split with RSS bounded by stream_window_rows
+    (replaces the reference's DataLoader worker pool,
+    ref: ViT/training/train.py:346-366). Each split holds its OWN file
+    handle so prefetch threads never share h5py state. Otherwise splits are
+    materialized in RAM and wrapped in ArrayFeeds — same interface, so
+    fit()/eval run identically either way."""
+    if cfg.data.source == "hdf5" and cfg.data.streaming:
+        import functools
+
+        meta_src = HDF5DataSource(cfg.data.file_path, cfg.data.json_path)
+        s = meta_src.split(cfg.data)
+        stats = meta_src.normalization_stats(s.train, cfg.data)
+        meta_src.close()
+        feeds: Dict[str, DataFeed] = {}
+        for name, idx in (("train", s.train), ("valid", s.valid), ("test", s.test)):
+            src = HDF5DataSource(cfg.data.file_path, cfg.data.json_path)
+            feeds[name] = StreamFeed(
+                functools.partial(src.batch_stream, idx, s.label_map,
+                                  window_rows=cfg.data.stream_window_rows),
+                num_samples=len(idx), shuffle_seed=cfg.train.shuffle_seed,
+            )
+        return feeds, stats, list(cfg.data.target_modulations)
+
+    splits, stats, class_names = load_experiment_data(cfg)
+    feeds = {
+        name: ArrayFeed(x, y, z, shuffle_seed=cfg.train.shuffle_seed)
+        for name, (x, y, z) in splits.items()
+    }
+    return feeds, stats, class_names
+
+
 def run_training(
     cfg: ExperimentConfig,
     resume: Optional[str] = None,
@@ -109,7 +165,7 @@ def run_training(
     log_dir.mkdir(parents=True, exist_ok=True)
     cfg.to_json(exp_dir / "config.json")
 
-    splits, stats, class_names = load_experiment_data(cfg)
+    feeds, stats, class_names = load_experiment_feeds(cfg)
     (exp_dir / "normalization_stats.json").write_text(json.dumps(stats, indent=2))
     preprocess = build_preprocess(cfg, stats)
 
@@ -149,15 +205,14 @@ def run_training(
         last.update(state=state, epoch=epoch, history=history)
         checkpoint_callback(epoch, state, history)
 
-    x_train, y_train, _ = splits["train"]
-    x_valid, y_valid, _ = splits["valid"]
     t0 = time.perf_counter()
     try:
         result = fit(
-            cfg, fwd, params, (x_train, y_train), (x_valid, y_valid),
+            cfg, fwd, params, feeds["train"], feeds["valid"],
             preprocess_fn=preprocess, epoch_callback=tracking_callback,
             resume_state=resume_state, resume_history=resume_history,
             start_epoch=start_epoch, verbose=verbose,
+            profile=cfg.train.profile_steps,
         )
     except KeyboardInterrupt:
         if last["state"] is not None:
@@ -202,12 +257,13 @@ def run_training(
         "history": result.history,
         "normalization_stats": stats,
     }
+    if result.step_times:
+        summary["step_times"] = result.step_times
 
     if evaluate_test:
-        from vitiq.eval import evaluate_model_with_confusion
-        x_test, y_test, z_test = splits["test"]
-        eval_res = evaluate_model_with_confusion(
-            fwd, best_params, x_test, y_test, z_test, class_names,
+        from vitiq.eval import evaluate_feed_with_confusion
+        eval_res = evaluate_feed_with_confusion(
+            fwd, best_params, feeds["test"], class_names,
             exp_dir / "evaluation", prefix="test", batch_size=cfg.train.batch_size,
             preprocess_fn=preprocess, verbose=verbose,
         )
@@ -283,7 +339,7 @@ def run_evaluation(
     if batch_size:
         cfg.train.batch_size = batch_size
 
-    splits, stats, class_names = load_experiment_data(cfg)
+    feeds, stats, class_names = load_experiment_feeds(cfg)
     stats_file = exp_dir / "normalization_stats.json"
     if stats_file.exists():
         stats = json.loads(stats_file.read_text())
@@ -308,10 +364,9 @@ def run_evaluation(
     else:
         fwd = make_forward(cfg.model)
 
-    x, y, z = splits[dataset]
-    from vitiq.eval import evaluate_model_with_confusion
-    return evaluate_model_with_confusion(
-        fwd, params, x, y, z, class_names, exp_dir / "evaluation",
+    from vitiq.eval import evaluate_feed_with_confusion
+    return evaluate_feed_with_confusion(
+        fwd, params, feeds[dataset], class_names, exp_dir / "evaluation",
         prefix=prefix, batch_size=cfg.train.batch_size,
         preprocess_fn=preprocess, verbose=verbose,
     )

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from vitiq.config import ExperimentConfig
+from vitiq.data.feeds import DataFeed, as_feed
+from vitiq.data.pipeline import device_prefetch
 from vitiq.ops.metrics import accuracy, label_smoothed_cross_entropy
 from vitiq.parallel.mesh import batch_sharding, make_mesh, shard_params
 from vitiq.train.optim import TrainState, create_train_state, get_learning_rate, make_optimizer, set_learning_rate
@@ -177,6 +179,21 @@ def evaluate_epoch(eval_step, params, x, y, batch_size: int, sharding=None) -> D
     return {"loss": loss_sum / count, "accuracy": correct_sum / count}
 
 
+def evaluate_feed(eval_step, params, feed: DataFeed, batch_size: int,
+                  sharding=None, prefetch_depth: int = 3) -> Dict[str, float]:
+    """evaluate_epoch over a DataFeed (in-RAM or streaming) with async
+    prefetch — padded batches, every sample scored exactly once."""
+    loss_sum = correct_sum = count = 0.0
+    batches = device_prefetch(feed.eval_batches(batch_size), sharding,
+                              prefetch_depth=prefetch_depth)
+    for bx, by, mask in batches:
+        m = eval_step(params, bx, by, mask)
+        loss_sum += float(m["loss_sum"])
+        correct_sum += float(m["correct_sum"])
+        count += float(m["count"])
+    return {"loss": loss_sum / count, "accuracy": correct_sum / count}
+
+
 # --------------------------------------------------------------------------
 # fit: the full training loop
 # --------------------------------------------------------------------------
@@ -188,6 +205,8 @@ class FitResult:
     history: Dict[str, list] = field(default_factory=dict)
     stopped_early: bool = False
     epochs_run: int = 0
+    # StepTimer.summary() when fit(profile=True): p50/p90/best/mean step s
+    step_times: Optional[Dict] = None
     # True iff best_params was actually tracked by early stopping this run;
     # False means best_params is the final-epoch fallback. On resume, history
     # re-priming sets the bar without params, so a run whose post-resume
@@ -209,6 +228,7 @@ def fit(
     resume_history: Optional[Dict] = None,
     start_epoch: int = 0,
     verbose: bool = True,
+    profile: bool = False,
 ) -> FitResult:
     """Train with the reference's control semantics: plateau LR, early stop,
     best-params tracking, full history (ref: ViT/training/train.py:450-560).
@@ -216,6 +236,17 @@ def fit(
     `epoch_callback(epoch, state, history)` runs after each epoch (checkpoint
     cadence lives there). Raw frames in train/valid_data; preprocess_fn runs
     inside the jitted steps.
+
+    train_data / valid_data: (x, y) array tuples (in-RAM) OR DataFeed
+    objects (`vitiq.data.feeds`) — a StreamFeed over
+    `HDF5DataSource.batch_stream` trains out-of-core corpora with bounded
+    RSS. Either way batches are fed through `device_prefetch`, so the host
+    read + H2D copy of step N+1 overlap step N's compute.
+
+    profile=True records dispatch-synchronized per-step wall times
+    (StepTimer) and adds per-epoch step_p50/step_p90 to history; each
+    step then blocks on its own output, trading a little pipelining for
+    honest step latencies.
     """
     tcfg = cfg.train
     if mesh is None:
@@ -252,34 +283,49 @@ def fit(
     early_stopping.early_stop = False
 
     base_rng = jax.random.PRNGKey(tcfg.dropout_seed)
-    shuffle_rng = np.random.default_rng(tcfg.shuffle_seed + start_epoch)
-    x_train, y_train = train_data
-    x_valid, y_valid = valid_data
-    if len(x_train) < tcfg.batch_size:
+    train_feed = as_feed(train_data, shuffle_seed=tcfg.shuffle_seed)
+    valid_feed = as_feed(valid_data, shuffle_seed=tcfg.shuffle_seed)
+    if train_feed.num_samples < tcfg.batch_size:
         raise ValueError(
             f"batch_size ({tcfg.batch_size}) exceeds the training-set size "
-            f"({len(x_train)}); train batches drop the final partial batch, so "
-            f"no step would ever run"
+            f"({train_feed.num_samples}); train batches drop the final partial "
+            f"batch, so no step would ever run"
         )
-    if len(x_valid) == 0:
+    if valid_feed.num_samples == 0:
         raise ValueError("validation set is empty — plateau LR and early stopping "
                          "need a validation metric")
+
+    timer = None
+    if profile:
+        from vitiq.utils.profiling import StepTimer
+        timer = StepTimer()
+        history.setdefault("step_p50", [])
+        history.setdefault("step_p90", [])
 
     result = FitResult(state=state, best_params=None, history=history)
     with mesh:
         for epoch in range(start_epoch, tcfg.num_epochs):
             t0 = time.perf_counter()
             losses, accs = [], []
-            for bx, by in train_batches(x_train, y_train, tcfg.batch_size,
-                                        shuffle_rng, data_sharding):
-                state, metrics = train_step(state, bx, by, base_rng)
+            epoch_steps0 = len(timer.times) if timer else 0
+            batches = device_prefetch(
+                train_feed.train_batches(epoch, tcfg.batch_size),
+                data_sharding, prefetch_depth=tcfg.prefetch_depth)
+            for bx, by in batches:
+                if timer is not None:
+                    with timer.step():
+                        state, metrics = train_step(state, bx, by, base_rng)
+                        timer.sync(metrics["loss"])
+                else:
+                    state, metrics = train_step(state, bx, by, base_rng)
                 losses.append(metrics["loss"])
                 accs.append(metrics["accuracy"])
             train_loss = float(jnp.mean(jnp.stack(losses)))
             train_acc = float(jnp.mean(jnp.stack(accs)))
 
-            val = evaluate_epoch(eval_step, state.params, x_valid, y_valid,
-                                 tcfg.batch_size, data_sharding)
+            val = evaluate_feed(eval_step, state.params, valid_feed,
+                                tcfg.batch_size, data_sharding,
+                                prefetch_depth=tcfg.prefetch_depth)
             epoch_time = time.perf_counter() - t0
 
             lr = get_learning_rate(state)
@@ -293,13 +339,24 @@ def fit(
             history["val_acc"].append(val["accuracy"])
             history["lr"].append(lr)
             history["epoch_time"].append(epoch_time)
+            step_note = ""
+            if timer is not None:
+                et = np.asarray(timer.times[epoch_steps0:])
+                # skip the first step of the first epoch (compile)
+                if epoch == start_epoch and len(et) > 1:
+                    et = et[1:]
+                p50 = float(np.median(et)) if len(et) else float("nan")
+                p90 = float(np.percentile(et, 90)) if len(et) else float("nan")
+                history["step_p50"].append(p50)
+                history["step_p90"].append(p90)
+                step_note = f" step p50={p50 * 1e3:.1f}ms p90={p90 * 1e3:.1f}ms"
 
             if verbose:
                 print(
                     f"epoch {epoch + 1}/{tcfg.num_epochs} "
                     f"train_loss={train_loss:.4f} train_acc={train_acc:.4f} "
                     f"val_loss={val['loss']:.4f} val_acc={val['accuracy']:.4f} "
-                    f"lr={lr:.2e} ({epoch_time:.1f}s)"
+                    f"lr={lr:.2e} ({epoch_time:.1f}s){step_note}"
                 )
 
             result.state = state
@@ -314,6 +371,8 @@ def fit(
                 break
 
     result.state = state
+    if timer is not None:
+        result.step_times = timer.summary()
     result.best_tracked = early_stopping.best_params is not None
     result.best_params = (
         early_stopping.best_params if result.best_tracked else state.params
