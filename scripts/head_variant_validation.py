@@ -1,65 +1,74 @@
 #!/usr/bin/env python
-"""Accuracy revalidation for the d_head>=32 serving variants.
+"""Accuracy gate for the d_head>=32 serving variants (H8 vs H4 vs H2).
 
 The measured round-1 attribution (docs/BENCHMARKS.md) says the serving wall
-is the per-head score-tensor work; d_head = d_model/n_head >= 32 shrinks it by
-2-4x. This script answers "does changing H=8 -> H=4/H=2 cost accuracy?" on
-the synthetic head-to-head harness: identical data, seeds, budget — only
-n_head differs.
+is the per-head score-tensor work; d_head = d_model/n_head >= 32 shrinks it
+2-4x. This script answers "does H=8 -> H=4/H=2 cost accuracy?" with enough
+statistical power to mean something (the round-2 judge flagged the 3-seed
+2-layer gate as underpowered):
 
-Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/head_variant_validation.py \
-           [epochs] [frames_per_class] [comma-separated seeds, default 0,1,2]
-Runs each variant once per seed (init/data/shuffle seeds varied together)
-and writes per-seed + mean/stdev results to head_variant_validation.json.
+  * FULL-DEPTH flagship geometry (d128 / 6 layers / reference regime)
+  * the 19-class synthetic proxy corpus (full constellation set incl.
+    ASK/APSK/cross-QAM + GMSK/OQPSK; vitiq/data/synthetic.py)
+  * >= 10 seeds, init/data/shuffle varied together
+  * PAIRED per-seed deltas vs H8 + t statistics in the output JSON
+
+Usage:
+  python scripts/head_variant_validation.py [epochs] [frames_per_class] \
+      [comma-separated seeds] [numerics]
+Defaults: 30 epochs, 512 frames/class, seeds 0..9, numerics=tpu when the
+backend is TPU (fused train kernels — gating the PRODUCTION path) else
+reference. Writes head_variant_validation.json.
 """
 import json
 import pathlib
+import statistics
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    frames_per_class = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    import jax
 
-    from vitiq.config import DataConfig, ExperimentConfig, ModelConfig, TrainConfig
+    from vitiq.config import (TARGET_MODULATIONS_19, DataConfig,
+                              ExperimentConfig, ModelConfig, TrainConfig)
     from vitiq.runner import run_training
 
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    frames_per_class = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     seeds = [int(s) for s in (sys.argv[3].split(",") if len(sys.argv) > 3
-                              else ["0", "1", "2"])]
+                              else [str(i) for i in range(10)])]
+    numerics = (sys.argv[4] if len(sys.argv) > 4
+                else ("tpu" if jax.default_backend() == "tpu" else "reference"))
+
+    classes = TARGET_MODULATIONS_19
     results = {}
-    # Learnable-within-CPU-budget geometry: the d_head question is about the
-    # ATTENTION width (d_model/n_head), which a 2-layer stack at the flagship
-    # width exercises; high-SNR frames keep the task solvable in ~a dozen
-    # epochs (the full 6-layer/all-SNR setup needs the reference's 60-80 GPU
-    # epochs and stays at chance here — measured). Multi-seed replicates
-    # (init + data seeds varied together) put error bars on the deltas.
-    classes = ("BPSK", "QPSK", "8PSK", "16QAM", "64QAM")
     for n_head in (8, 4, 2):
         accs, vlosses = [], []
         for seed in seeds:
             cfg = ExperimentConfig(
                 model=ModelConfig(arm="vit", num_classes=len(classes),
-                                  d_model=128, n_head=n_head, n_layers=2,
+                                  d_model=128, n_head=n_head, n_layers=6,
                                   ffn_hidden=512, drop_prob=0.1, patch_size=4,
-                                  numerics="reference"),
+                                  numerics=numerics),
                 data=DataConfig(source="synthetic", synthetic_classes=classes,
                                 synthetic_frames_per_class=frames_per_class,
-                                synthetic_snr_db=(8.0, 14.0, 20.0),
+                                synthetic_snr_db=(0.0, 4.0, 8.0, 12.0, 16.0, 20.0),
                                 synthetic_seed=seed),
-                train=TrainConfig(batch_size=128, num_epochs=epochs,
+                train=TrainConfig(batch_size=256, num_epochs=epochs,
                                   patience=epochs, init_seed=seed,
                                   dropout_seed=seed + 100,
                                   shuffle_seed=seed + 200),
                 experiment_name=f"head_variant_h{n_head}_s{seed}",
+                checkpoint_dir="/tmp/head_variant/ckpt",
+                log_dir="/tmp/head_variant/logs",
             )
-            summary = run_training(cfg, verbose=True)
+            summary = run_training(cfg, verbose=False)
             accs.append(summary.get("test_overall_accuracy"))
             vlosses.append(summary.get("best_val_loss"))
-            print(f"n_head={n_head} seed={seed}: "
-                  f"test acc {accs[-1]:.4f}", flush=True)
-        import statistics
+            print(f"n_head={n_head} seed={seed}: test acc {accs[-1]:.4f}",
+                  flush=True)
 
         results[f"h{n_head}"] = {
             "d_head": 128 // n_head,
@@ -69,12 +78,26 @@ def main() -> int:
             "mean_best_val_loss": statistics.mean(vlosses),
         }
 
-    base = results["h8"]["mean_accuracy"]
+    base = results["h8"]["per_seed_accuracy"]
     for k, v in results.items():
-        v["delta_vs_h8"] = v["mean_accuracy"] - base
+        deltas = [a - b for a, b in zip(v["per_seed_accuracy"], base)]
+        v["delta_vs_h8"] = statistics.mean(deltas)
+        if len(deltas) > 1 and k != "h8":
+            sd = statistics.stdev(deltas)
+            v["paired_stdev"] = sd
+            v["paired_t"] = (statistics.mean(deltas)
+                             / (sd / len(deltas) ** 0.5) if sd > 0 else 0.0)
+
+    meta = {
+        "regime": {"epochs": epochs, "frames_per_class": frames_per_class,
+                   "seeds": seeds, "numerics": numerics,
+                   "classes": len(classes), "n_layers": 6,
+                   "backend": __import__("jax").default_backend()},
+        **results,
+    }
     out = pathlib.Path("head_variant_validation.json")
-    out.write_text(json.dumps(results, indent=2))
-    print(json.dumps(results, indent=2))
+    out.write_text(json.dumps(meta, indent=2))
+    print(json.dumps(meta, indent=2))
     return 0
 
 

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Two-arm head-to-head on the 19-class synthetic proxy corpus at the
+reference training regime — the strongest accuracy proxy achievable without
+the 20 GB RadioML download (VERDICT round-2 item 2).
+
+Trains BOTH arms to convergence (batch 256, plateau LR, early stopping —
+the reference regime, ref: ViT/training/train.py:90-95 / 405-424), evaluates
+each with the full confusion/report artifact set, and runs the cross-arm
+comparison — the workflow the reference performs manually across its two
+script trees + compare_models.py.
+
+Usage: python scripts/proxy_head_to_head.py [epochs] [frames_per_class] [numerics]
+Defaults: 100 epochs (early stop governs), 2048 frames/class, numerics=tpu
+on TPU else reference. Artifacts under result/proxy19/, comparison under
+result/proxy19/comparison_results/, summary JSON at
+result/proxy19/head_to_head_summary.json.
+"""
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    import jax
+
+    from vitiq.config import ExperimentConfig
+    from vitiq.runner import run_head_to_head
+
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    numerics = (sys.argv[3] if len(sys.argv) > 3
+                else ("tpu" if jax.default_backend() == "tpu" else "reference"))
+
+    out_root = pathlib.Path("result/proxy19")
+    common = {
+        "data.synthetic_frames_per_class": frames,
+        "model.numerics": numerics,
+        "train.num_epochs": epochs,
+        "checkpoint_dir": str(out_root / "ckpt"),
+        "log_dir": str(out_root / "logs"),
+    }
+    vit_cfg = ExperimentConfig.vit_synthetic19(**common)
+    rawiq_cfg = ExperimentConfig.rawiq_synthetic19(**common)
+
+    summary = run_head_to_head(
+        vit_cfg, rawiq_cfg,
+        comparison_dir=str(out_root / "comparison_results"),
+        verbose=True,
+    )
+    out = out_root / "head_to_head_summary.json"
+    out.write_text(json.dumps(summary, indent=2, default=float))
+    print(json.dumps({k: summary[k] for k in ("vit", "rawiq")},
+                     indent=2, default=float))
+    print(f"summary -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -255,6 +255,38 @@ class TestDataParallel:
             got = np.asarray(jax.jit(fwd)(p_sharded, x_sharded))
         np.testing.assert_allclose(ref, got, atol=2e-5)
 
+    def test_multislice_mesh_bookkeeping_and_forward(self):
+        """make_multislice_mesh on the virtual 8-device mesh: axis names
+        ("dcn_data","data","model"), shape bookkeeping, batch_sharding over
+        BOTH batch axes, and a forward through the joint sharding matches
+        the single-device result (VERDICT r2 item 9 — previously the only
+        untested parallel helper)."""
+        from vitiq.parallel import shard_params
+        from vitiq.parallel.mesh import batch_sharding, make_multislice_mesh
+
+        mesh = make_multislice_mesh(dcn_data=2, model=2)  # 2 x 2 x 2
+        assert mesh.axis_names == ("dcn_data", "data", "model")
+        assert dict(mesh.shape) == {"dcn_data": 2, "data": 2, "model": 2}
+        sh = batch_sharding(mesh)
+        assert sh.spec == jax.sharding.PartitionSpec(("dcn_data", "data"))
+
+        cfg = tiny_experiment().model
+        params = init_amc_params(jax.random.PRNGKey(0), cfg)
+        fwd = make_forward(cfg)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 2, 128)),
+                        jnp.float32)
+        ref = np.asarray(fwd(params, x))
+        with mesh:
+            got = np.asarray(jax.jit(fwd)(
+                shard_params(params, mesh), jax.device_put(x, sh)))
+        np.testing.assert_allclose(ref, got, atol=2e-5)
+        # ici_data derivation: 8 devices / (2 dcn * 1 model) = 4
+        m2 = make_multislice_mesh(dcn_data=2)
+        assert dict(m2.shape) == {"dcn_data": 2, "data": 4, "model": 1}
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="devices"):
+            make_multislice_mesh(dcn_data=16)
+
 
 def test_rbg_dropout_key_path():
     """The TPU-fast RBG dropout key (vitiq/train/loop.py:_as_rbg_key) must

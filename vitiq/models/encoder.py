@@ -94,6 +94,50 @@ def encoder_apply(
         x = dropout(x, cfg.drop_prob, None, train)
         layer_rngs = [None] * cfg.n_layers
 
+    # Mesh policy for the fused Pallas kernels (VERDICT r2 item 3):
+    #  * model axis > 1 (tensor parallelism): fused kernels consume FULL
+    #    [D, *] weight tensors and cannot run over partitioned params — the
+    #    XLA path owns TP (megatron shardings resolved by jit's partitioner).
+    #    Fall back with a one-time warning so the perf change is visible.
+    #  * data axes > 1: XLA's SPMD partitioner cannot split a pallas_call,
+    #    so the stacks run per-shard inside jax.shard_map over the ambient
+    #    mesh (batch sharded, params replicated) — collectives stay outside
+    #    the kernel, each chip runs the same kernel on its local shard.
+    from vitiq.parallel.mesh import ambient_mesh, mesh_data_axes
+
+    mesh = ambient_mesh()
+    tp_active = mesh is not None and dict(mesh.shape).get("model", 1) > 1
+    data_axes = mesh_data_axes(mesh) if mesh is not None else ()
+    # VITIQ_FUSED_FORCE=1 engages the fused kernels off-TPU — paired with
+    # VITIQ_PALLAS_INTERPRET=1 (generic pallas interpreter) this lets the
+    # virtual-mesh dryrun certify the production kernel path on CPU.
+    fused_family = (
+        policy.compute_dtype == jnp.bfloat16
+        and getattr(attention_fn, "packed_layout", False)
+        and (jax.default_backend() == "tpu"
+             or os.environ.get("VITIQ_FUSED_FORCE") == "1")
+    )
+    if tp_active and fused_family:
+        import warnings
+
+        warnings.warn(
+            "fused Pallas kernels are data-parallel only; model axis > 1 "
+            "falls back to the XLA path (megatron TP via jit shardings)",
+            stacklevel=2)
+        fused_family = False
+
+    def run_stack(stack_fn, xx, layers, *extra):
+        """Run a fused stack directly, or per-shard via shard_map when the
+        ambient mesh shards the batch."""
+        if not data_axes:
+            return stack_fn(xx, layers, *extra)
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(data_axes)
+        in_specs = (spec, P()) + tuple(P() for _ in extra)
+        return jax.shard_map(stack_fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=spec, check_vma=False)(xx, layers, *extra)
+
     # TRAINING fused path: Pallas forward + Pallas backward per layer with
     # in-kernel dropout (vitiq/ops/pallas/fused_layer_train.py). The mask
     # stream is the TPU PRNG seeded from this step's key — deterministic per
@@ -103,9 +147,7 @@ def encoder_apply(
         train
         and rng is not None
         and mask is None
-        and policy.compute_dtype == jnp.bfloat16
-        and getattr(attention_fn, "packed_layout", False)
-        and jax.default_backend() == "tpu"
+        and fused_family
         and os.environ.get("VITIQ_FUSED_TRAIN", "1") != "0"
         # validated on hardware by scripts/tpu_check_train.py: global grad
         # cosine 0.99999 vs XLA autodiff, dropout deterministic/seed-
@@ -117,10 +159,20 @@ def encoder_apply(
         if jnp.issubdtype(data.dtype, jax.dtypes.prng_key):
             data = jax.random.key_data(data)
         seed = jax.lax.bitcast_convert_type(data[0], jnp.int32)
-        return fused_train_layer_stack(
-            policy.cast_compute(x), params["layers"], cfg.n_head,
-            cfg.drop_prob, seed,
-        )
+
+        def train_stack(xx, layers, seed_):
+            if data_axes:
+                # decorrelate dropout masks across batch shards: fold the
+                # linearized shard index into the seed
+                idx = jnp.int32(0)
+                for ax in data_axes:
+                    idx = idx * dict(mesh.shape)[ax] + jax.lax.axis_index(ax)
+                seed_ = seed_ + idx * jnp.int32(-1640531527)  # golden-ratio mix
+            return fused_train_layer_stack(xx, layers, cfg.n_head,
+                                           cfg.drop_prob, seed_)
+
+        return run_stack(train_stack, policy.cast_compute(x),
+                         params["layers"], seed)
 
     # Inference under the bf16 TPU policy runs each layer as ONE fused Pallas
     # kernel (attention + post-norms + FFN resident in VMEM) — this model is
@@ -129,9 +181,7 @@ def encoder_apply(
     if (
         not train
         and mask is None
-        and policy.compute_dtype == jnp.bfloat16
-        and getattr(attention_fn, "packed_layout", False)  # fused-kernel family opted in
-        and jax.default_backend() == "tpu"
+        and fused_family
         and os.environ.get("VITIQ_NO_FUSED_LAYER") != "1"
     ):
         from vitiq.ops.pallas.fused_encoder_layer import (
@@ -145,9 +195,9 @@ def encoder_apply(
         # override with VITIQ_FUSED_VERSION={v2,v3}
         version = os.environ.get("VITIQ_FUSED_VERSION", "v3")
         if version == "v2":
-            return fused_encoder_layer_v2_stack(
-                policy.cast_compute(x), params["layers"], cfg.n_head
-            )
+            return run_stack(
+                lambda xx, ll: fused_encoder_layer_v2_stack(xx, ll, cfg.n_head),
+                policy.cast_compute(x), params["layers"])
         if (x.shape[1] > 512 and not os.environ.get("VITIQ_ATTN_INT8") == "1"
                 and os.environ.get("VITIQ_LONGSEQ", "0") == "1"):
             # OPT-IN (VITIQ_LONGSEQ=1): query-tiled long-sequence stack —
@@ -162,17 +212,19 @@ def encoder_apply(
                 fused_encoder_layer_v4long_stack,
             )
 
-            return fused_encoder_layer_v4long_stack(
-                policy.cast_compute(x), params["layers"], cfg.n_head,
+            return run_stack(
+                lambda xx, ll: fused_encoder_layer_v4long_stack(
+                    xx, ll, cfg.n_head,
+                    cls_only=cls_only_fused
+                    and os.environ.get("VITIQ_CLS_ONLY", "1") != "0"),
+                policy.cast_compute(x), params["layers"])
+        return run_stack(
+            lambda xx, ll: fused_encoder_layer_v3_stack(
+                xx, ll, cfg.n_head,
+                attn_int8=os.environ.get("VITIQ_ATTN_INT8") == "1",
                 cls_only=cls_only_fused
-                and os.environ.get("VITIQ_CLS_ONLY", "1") != "0",
-            )
-        return fused_encoder_layer_v3_stack(
-            policy.cast_compute(x), params["layers"], cfg.n_head,
-            attn_int8=os.environ.get("VITIQ_ATTN_INT8") == "1",
-            cls_only=cls_only_fused
-            and os.environ.get("VITIQ_CLS_ONLY", "1") != "0",
-        )
+                and os.environ.get("VITIQ_CLS_ONLY", "1") != "0"),
+            policy.cast_compute(x), params["layers"])
 
     for layer_params, layer_rng in zip(params["layers"], layer_rngs):
         x = encoder_layer_apply(

@@ -48,6 +48,22 @@ from vitiq.ops.numerics import Policy, REFERENCE, TPU
 _NEG_INF = -1e30
 
 
+def _generic_interpret() -> bool:
+    """VITIQ_PALLAS_INTERPRET=1: run every pallas_call through the GENERIC
+    pallas interpreter (plain JAX ops). Unlike pltpu.force_tpu_interpret_mode
+    this composes with jax.shard_map/jit partitioning on multi-device CPU
+    meshes, so the virtual-mesh dryrun can certify the fused kernels'
+    shard_map plumbing + numerics without TPU hardware."""
+    import os
+
+    return os.environ.get("VITIQ_PALLAS_INTERPRET") == "1"
+
+
+def _pallas_call(*args, **kwargs):
+    kwargs.setdefault("interpret", _generic_interpret())
+    return pl.pallas_call(*args, **kwargs)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -133,7 +149,7 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         scale=1.0 / ((D // n_head) ** 0.5),
     )
     block = pl.BlockSpec((G, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    out = _pallas_call(
         kernel,
         grid=(Bp // G,),
         in_specs=[block, block, block],

@@ -33,6 +33,22 @@ _NEG_INF = -1e30
 LN_EPS = 1e-12
 
 
+def _generic_interpret() -> bool:
+    """VITIQ_PALLAS_INTERPRET=1: run every pallas_call through the GENERIC
+    pallas interpreter (plain JAX ops). Unlike pltpu.force_tpu_interpret_mode
+    this composes with jax.shard_map/jit partitioning on multi-device CPU
+    meshes, so the virtual-mesh dryrun can certify the fused kernels'
+    shard_map plumbing + numerics without TPU hardware."""
+    import os
+
+    return os.environ.get("VITIQ_PALLAS_INTERPRET") == "1"
+
+
+def _pallas_call(*args, **kwargs):
+    kwargs.setdefault("interpret", _generic_interpret())
+    return pl.pallas_call(*args, **kwargs)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -278,7 +294,7 @@ def fused_encoder_layer_v2_stack(
                     scale=1.0 / ((D // n_head) ** 0.5),
                 )
 
-        xp = pl.pallas_call(
+        xp = _pallas_call(
             kernel,
             grid=(Bp // G,),
             in_specs=[data_block] + [rep(o.shape) for o in flat],
@@ -629,6 +645,85 @@ def _v3_attention_core(qkv, x_dtype, attn_scratch, nums_ref=None,
                 out / den).astype(attn_scratch.dtype)
 
 
+def _v3_attention_core_xpack(qkv, x_dtype, attn_scratch, nums_ref, dens_ref,
+                             kp_ref, vp_ref, *, seq_len: int, n_head: int,
+                             q_sec=None, zero_fill: bool = True):
+    """CROSS-HEAD PACKED attention: one block-diagonal GEMM chain replaces
+    the H sequential per-head score->exp->PV chains — the measured
+    serialization wall of the v3 kernel (docs/BENCHMARKS.md round-2.6:
+    surgery-probe deltas don't add up because ops ride in per-head
+    scheduling slack; the critical path is the 8-fold chain).
+
+    Layout trick: K and V are scattered into BLOCK-DIAGONAL [H*Lp, D]
+    operands — head h's keys occupy rows [h*Lp, (h+1)*Lp) and lanes
+    [h*dh, (h+1)*dh), zeros elsewhere. Then ONE matmul of the UNSPLIT query
+    tile against kp^T yields every head's score tile at once, because head
+    h's score columns contract exactly over head h's lane slice of q:
+
+        scores [G,nq,H*Lp] = q_full @ kp^T     (single GEMM)
+        probs              = exp2(scores)      (one wide VPU pass)
+        nums   [G,nq,D]    = probs @ vp        (single GEMM; vp block-diag
+                                                routes head h's probs onto
+                                                head h's output lanes)
+        dens   [G,nq,H]    = probs @ ones_bd   (narrow N=H matmul)
+
+    MXU pass count is IDENTICAL to the chained path (a dh=16 contraction
+    costs the same 128-deep pass after padding), but the work arrives as 3
+    GEMMs + 1 exp2 instead of 8x(score, exp, PV) = 24 serialized stages.
+    Score-tensor VMEM bytes/element match v3 (4 write + 4 read + 2 + 2);
+    the block-diagonal scratch build writes only each head's dh-lane slice
+    (one [G,Lp,D] pass after a zero fill). Padded-key masking rides in
+    zeroed vp rows + ones_bd rows — the score path stays mask-free and
+    padded scores are finite (bias values), exactly like v3.
+    """
+    g, lp, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_head
+    nq = attn_scratch.shape[1]
+    qsrc = qkv[:, :nq, :d] if q_sec is None else q_sec
+
+    if zero_fill:
+        # only the per-head dh-lane slices are ever written; callers running
+        # several layers through the same scratch zero ONCE and pass
+        # zero_fill=False thereafter (the off-block zeros are never dirtied)
+        kp_ref[:] = jnp.zeros_like(kp_ref)
+        vp_ref[:] = jnp.zeros_like(vp_ref)
+    if seq_len < lp:
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=1)
+        vmask = row < seq_len
+    else:
+        vmask = None
+    for h in range(n_head):
+        k_h = qkv[:, :, d + h * dh:d + (h + 1) * dh]
+        v_h = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        if vmask is not None:
+            v_h = jnp.where(vmask, v_h, 0)
+        kp_ref[:, h * lp:(h + 1) * lp, h * dh:(h + 1) * dh] = k_h
+        vp_ref[:, h * lp:(h + 1) * lp, h * dh:(h + 1) * dh] = v_h
+
+    scores = jax.lax.dot_general(
+        qsrc, kp_ref[:],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [G, nq, H*Lp] — q pre-scaled by scale*log2e via the folded W_q
+    probs = jnp.exp2(scores).astype(x_dtype)
+    nums_ref[:] = jax.lax.dot_general(
+        probs, vp_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [G, nq, D]
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (n_head * lp, n_head), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (n_head * lp, n_head), 1)
+    ones_bd = ((r_i // lp == c_i) & (r_i % lp < seq_len)).astype(x_dtype)
+    dens_ref[:] = jax.lax.dot_general(
+        probs, ones_bd,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [G, nq, H]
+    _wide_divide_epilogue(attn_scratch, nums_ref, dens_ref, x_dtype,
+                          n_head, dh, d)
+
+
 def _fused_layer_kernel_v3(
     x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     g1_ref, be1_ref, w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
@@ -636,6 +731,7 @@ def _fused_layer_kernel_v3(
     *, seq_len: int, n_head: int, vpu_tail: bool = True,
     probe: Optional[str] = None, head_group: int = 1,
     epi: str = "div", pack: int = 1,
+    kp_ref=None, vp_ref=None, xpack_zero_fill: bool = True,
 ):
     """Score-tile-streamed attention variant.
 
@@ -687,9 +783,16 @@ def _fused_layer_kernel_v3(
     # scripts/tpu_probe_mask_ops.py for the op-by-op bisection.)
     # Correctness requires the padded columns' probs to stay FINITE, which
     # holds under the same |score| < 88 bound as the rest of the kernel.
-    _v3_attention_core(qkv, x.dtype, attn_scratch, nums_scratch, dens_scratch,
-                       seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
-                       probe=probe, head_group=head_group, epi=epi, pack=pack)
+    if kp_ref is not None:
+        _v3_attention_core_xpack(
+            qkv, x.dtype, attn_scratch, nums_scratch, dens_scratch,
+            kp_ref, vp_ref, seq_len=seq_len, n_head=n_head,
+            zero_fill=xpack_zero_fill)
+    else:
+        _v3_attention_core(qkv, x.dtype, attn_scratch, nums_scratch,
+                           dens_scratch, seq_len=seq_len, n_head=n_head,
+                           vpu_tail=vpu_tail, probe=probe,
+                           head_group=head_group, epi=epi, pack=pack)
 
     if probe == "noproj":
         proj = attn_scratch[:].astype(jnp.float32)
@@ -888,6 +991,29 @@ def _pick_batch_block_v3(Lp: int, D: int, H: int, itemsize: int) -> int:
     return 1
 
 
+def _pick_batch_block_v3_xpack(Lp: int, D: int, H: int, n_head: int,
+                               itemsize: int) -> int:
+    """VMEM-fitting G for the cross-head packed core: the full [nq, H*Lp]
+    score/prob tensors plus two [H*Lp, D] block-diagonal scratches replace
+    the streamed 128-wide tiles, so G lands smaller than v3's."""
+    for g in (16, 8, 4, 2, 1):
+        x_like = g * Lp * D
+        vmem = (
+            2 * 2 * x_like * itemsize              # in/out double-buffered
+            + 3 * x_like * itemsize                # qkv
+            + x_like * itemsize                    # attn scratch
+            + x_like * 4                           # nums f32
+            + g * Lp * n_head * 4                  # dens f32
+            + 2 * g * n_head * Lp * D * itemsize   # kp + vp block-diag scratch
+            + g * Lp * n_head * Lp * (4 + itemsize)  # scores f32 + probs
+            + 2 * g * Lp * H * itemsize            # ffn hidden (+relu copy)
+            + 2 * x_like * 4                       # f32 LN temps / residuals
+        )
+        if vmem <= 9 * 1024 * 1024:
+            return g
+    return 1
+
+
 _LOG2E = 1.4426950408889634
 
 
@@ -964,10 +1090,22 @@ def fused_encoder_layer_v3_stack(
         if pack < 0:
             pack = 2 if 64 < Lp <= 96 else 1
         pack = max(1, pack)
+    # VITIQ_V3_ATTN=xpack: cross-head packed attention core — one block-
+    # diagonal GEMM chain instead of H serialized per-head chains (see
+    # _v3_attention_core_xpack). Incompatible with the per-head probe /
+    # grouping / packing / int8 variants and the non-div epilogues.
+    xpack = (os.environ.get("VITIQ_V3_ATTN") == "xpack"
+             and not attn_int8 and head_group == 1 and not vpu_tail
+             and pack == 1 and probe is None and epi == "div")
     Lpk = Lp * pack
-    G = g_override or _pick_batch_block_v3(Lpk, D, max(
-        lp_["ffn"]["linear1"]["kernel"].shape[1] for lp_ in layer_params_list
-    ), x.dtype.itemsize)
+    ffn_h = max(lp_["ffn"]["linear1"]["kernel"].shape[1]
+                for lp_ in layer_params_list)
+    if xpack:
+        G = g_override or _pick_batch_block_v3_xpack(
+            Lp, D, ffn_h, n_head, x.dtype.itemsize)
+    else:
+        G = g_override or _pick_batch_block_v3(Lpk, D, ffn_h,
+                                               x.dtype.itemsize)
     Bp = _round_up(B, G * pack)
     xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
     if pack > 1:
@@ -1029,9 +1167,20 @@ def fused_encoder_layer_v3_stack(
         group = main_layers[start:start + layers_per_call]
         flat = [op for lp_ in group for op in layer_operands(lp_)]
 
+        n_scratch = 6 if xpack else 4
+
         def kernel(x_ref, *rest, n_layers=len(group)):
-            weight_refs = rest[:-4]
-            o_ref, attn_scratch, nums_s, dens_s = rest[-4:]
+            weight_refs = rest[:-n_scratch]
+            o_ref, attn_scratch, nums_s, dens_s = rest[-n_scratch:][:4]
+            kp_s, vp_s = (rest[-2:] if xpack else (None, None))
+            if xpack:
+                # zero the block-diagonal scratch ONCE (grid step 0): only
+                # the per-head dh-lane blocks are ever written afterwards,
+                # and TPU scratch persists across the sequential grid
+                @pl.when(pl.program_id(0) == 0)
+                def _zero():
+                    kp_s[:] = jnp.zeros_like(kp_s)
+                    vp_s[:] = jnp.zeros_like(vp_s)
             for c in range(n_layers):
                 src = x_ref if c == 0 else o_ref
                 if attn_int8:
@@ -1046,18 +1195,23 @@ def fused_encoder_layer_v3_stack(
                         o_ref, attn_scratch, nums_s, dens_s,
                         seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
                         probe=probe, head_group=head_group, epi=epi,
-                        pack=pack,
+                        pack=pack, kp_ref=kp_s, vp_ref=vp_s,
+                        xpack_zero_fill=False,
                     )
 
-        xp = pl.pallas_call(
+        scratch = [pltpu.VMEM((G, Lpk, D), x.dtype),
+                   pltpu.VMEM((G, Lpk, D), nums_dtype),
+                   pltpu.VMEM((G, Lpk, dens_width), jnp.float32)]
+        if xpack:
+            scratch += [pltpu.VMEM((G, n_head * Lp, D), x.dtype),
+                        pltpu.VMEM((G, n_head * Lp, D), x.dtype)]
+        xp = _pallas_call(
             kernel,
             grid=(Bk // G,),
             in_specs=[data_block] + [rep(o.shape) for o in flat],
             out_specs=data_block,
             out_shape=jax.ShapeDtypeStruct((Bk, Lpk, D), x.dtype),
-            scratch_shapes=[pltpu.VMEM((G, Lpk, D), x.dtype),
-                            pltpu.VMEM((G, Lpk, D), nums_dtype),
-                            pltpu.VMEM((G, Lpk, dens_width), jnp.float32)],
+            scratch_shapes=scratch,
         )(xp, *flat)
 
     if pack > 1:
@@ -1086,7 +1240,7 @@ def fused_encoder_layer_v3_stack(
                     seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
                     epi=epi)
 
-            xp = pl.pallas_call(
+            xp = _pallas_call(
                 combo_kernel,
                 grid=(Bp // G,),
                 in_specs=[cls_in_block] + [rep(o.shape) for o in flat],
@@ -1105,7 +1259,7 @@ def fused_encoder_layer_v3_stack(
         cls_kernel = functools.partial(
             _fused_layer_kernel_v3_cls, seq_len=seq_len, n_head=n_head,
             vpu_tail=vpu_tail, epi=epi)
-        xp = pl.pallas_call(
+        xp = _pallas_call(
             cls_kernel,
             grid=(Bp // G,),
             in_specs=[cls_in_block] + [rep(o.shape) for o in flat],
@@ -1239,7 +1393,7 @@ def fused_encoder_layer_v4long_stack(
         ]
         kernel = functools.partial(_fused_layer_kernel_v4long,
                                    seq_len=seq_len, n_head=n_head, epi=epi)
-        xp = pl.pallas_call(
+        xp = _pallas_call(
             kernel,
             grid=(Bp // G, Lp // TQ),
             in_specs=[x_block, qq_block, kv_block] + [rep(o.shape) for o in ops],
@@ -1395,7 +1549,7 @@ def fused_encoder_layer_int8(
         ffn["linear2"]["bias"].astype(jnp.float32),
         g2, be2,
     ]
-    out = pl.pallas_call(
+    out = _pallas_call(
         kernel,
         grid=(Bp // G,),
         in_specs=[data_block] + [rep(o.shape) for o in operands[1:]],
@@ -1550,7 +1704,7 @@ def fused_encoder_layer_v3_int8_stack(
                     seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail,
                 )
 
-        xp = pl.pallas_call(
+        xp = _pallas_call(
             kernel,
             grid=(Bp // G,),
             in_specs=[data_block] + [rep(o.shape) for o in flat],
@@ -1633,7 +1787,7 @@ def fused_encoder_layer(
         index_map = lambda i: tuple(0 for _ in shape)
         return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
+    out = _pallas_call(
         kernel,
         grid=(Bp // G,),
         in_specs=[

@@ -53,6 +53,22 @@ _LOG2E = 1.4426950408889634
 _LN2 = 0.6931471805599453
 
 
+def _generic_interpret() -> bool:
+    """VITIQ_PALLAS_INTERPRET=1: run every pallas_call through the GENERIC
+    pallas interpreter (plain JAX ops). Unlike pltpu.force_tpu_interpret_mode
+    this composes with jax.shard_map/jit partitioning on multi-device CPU
+    meshes, so the virtual-mesh dryrun can certify the fused kernels'
+    shard_map plumbing + numerics without TPU hardware."""
+    import os
+
+    return os.environ.get("VITIQ_PALLAS_INTERPRET") == "1"
+
+
+def _pallas_call(*args, **kwargs):
+    kwargs.setdefault("interpret", _generic_interpret())
+    return pl.pallas_call(*args, **kwargs)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -658,7 +674,7 @@ def _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights):
 
     kernel = functools.partial(_fwd_kernel, seq_len=seq_len, n_head=n_head,
                                drop=drop, layer_idx=layer_idx)
-    y = pl.pallas_call(
+    y = _pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -705,7 +721,7 @@ def _fused_train_layer_bwd(n_head, drop, layer_idx, seq_len, res, dy):
 
     kernel = functools.partial(_bwd_kernel, seq_len=seq_len, n_head=n_head,
                                drop=drop, layer_idx=layer_idx)
-    outs = pl.pallas_call(
+    outs = _pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

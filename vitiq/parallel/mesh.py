@@ -60,18 +60,59 @@ def make_multislice_mesh(
     ("dcn_data", "data", "model") and `batch_sharding`/`param_shardings`
     treat ("dcn_data", "data") jointly as the batch axis.
 
-    Requires a real multi-slice environment (jax.distributed initialized);
-    on a single slice use `make_mesh`.
+    On real multi-slice hardware (devices carry `slice_index`) the hybrid
+    mesh builder places same-slice devices together so only the once-per-step
+    gradient reduction crosses DCN. Devices WITHOUT slice topology (virtual
+    CPU meshes, single-slice dev boxes) fall back to a plain reshape with
+    identical axis bookkeeping — the axis names, shapes and
+    batch_sharding/P(("dcn_data","data")) behavior are the same either way,
+    so multi-slice code paths are testable on the 8-device CPU mesh.
     """
     devices = jax.devices()
     if ici_data is None:
         ici_data = len(devices) // (dcn_data * model)
-    mesh_devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(1, ici_data, model),
-        dcn_mesh_shape=(dcn_data, 1, 1),
-        devices=devices,
-    )
+    if ici_data < 1:
+        raise ValueError(
+            f"multislice mesh dcn_data={dcn_data} x model={model} leaves no "
+            f"devices for the ICI data axis ({len(devices)} devices total)")
+    n = dcn_data * ici_data * model
+    if n > len(devices):
+        raise ValueError(
+            f"multislice mesh {dcn_data}x{ici_data}x{model} needs {n} devices, "
+            f"have {len(devices)}")
+    if all(hasattr(d, "slice_index") for d in devices):
+        mesh_devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, ici_data, model),
+            dcn_mesh_shape=(dcn_data, 1, 1),
+            devices=devices,
+        )
+    else:
+        mesh_devices = np.array(devices[:n]).reshape(dcn_data, ici_data, model)
     return Mesh(mesh_devices, ("dcn_data", "data", "model"))
+
+
+def ambient_mesh() -> Optional[Mesh]:
+    """The Mesh installed by an enclosing ``with mesh:`` block, or None.
+
+    The fused Pallas kernels consult this at trace time: under a
+    multi-device mesh they must run per-shard inside ``jax.shard_map``
+    (XLA's SPMD partitioner cannot split a pallas_call on its own), and
+    under tensor parallelism (model axis > 1) they must not run at all —
+    they consume full [D, *] weight tensors (TP policy: the XLA path owns
+    model-sharded execution; see vitiq/models/encoder.py)."""
+    try:
+        from jax._src import mesh as mesh_lib
+
+        m = mesh_lib.thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:
+        return None
+
+
+def mesh_data_axes(mesh: Mesh) -> tuple:
+    """Axis names carrying the batch dimension with size > 1."""
+    return tuple(a for a in mesh.axis_names
+                 if a != "model" and mesh.shape[a] > 1)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
