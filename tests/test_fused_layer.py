@@ -114,6 +114,36 @@ def test_v3_stack_matches_reference_layers(Lx, n_head):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+@pytest.mark.parametrize("Lx,n_head,cls_only", [
+    (17, 4, False),   # single tile, no padded keys beyond sublane pad
+    (129, 8, False),  # flagship geometry incl. 15 padded key rows
+    (200, 8, False),  # several head blocks per K-pack row span
+    (129, 8, True),   # CLS tail after xpack main layers
+])
+def test_v3_xpack_matches_reference_layers(Lx, n_head, cls_only, monkeypatch):
+    """VITIQ_V3_ATTN=xpack (cross-head packed block-diagonal attention) must
+    be exact: one GEMM chain replaces the per-head score->exp->PV chains;
+    covers padded-key masking via zeroed vp rows + ones_bd, zero-fill-once
+    scratch reuse across grid steps and layers, and the CLS-only tail."""
+    from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v3_stack
+
+    monkeypatch.setenv("VITIQ_V3_ATTN", "xpack")
+    rng = np.random.default_rng(8)
+    p1 = L.encoder_layer_init(jax.random.PRNGKey(22), 128, 512)
+    p2 = L.encoder_layer_init(jax.random.PRNGKey(23), 128, 512)
+    x = jnp.asarray(rng.standard_normal((5, Lx, 128)), jnp.float32)
+    ref = L.encoder_layer_apply(p1, x, n_head, 0.0, None, False, policy=REFERENCE)
+    ref = np.asarray(L.encoder_layer_apply(p2, ref, n_head, 0.0, None, False,
+                                           policy=REFERENCE))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_encoder_layer_v3_stack(
+            x, [p1, p2], n_head, cls_only=cls_only))
+    if cls_only:
+        np.testing.assert_allclose(got[:, 0], ref[:, 0], atol=1e-4)
+    else:
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
 @pytest.mark.parametrize("Lx", [129, 133, 136, 128])
 def test_v3_vpu_tail_matches_mxu_tiles(Lx, monkeypatch):
     """The VPU rank-1 tail-key path (keys beyond the last full 128-wide MXU

@@ -349,6 +349,19 @@ def bench_ingestion(num_frames: int = 65536, frame_len: int = 1024,
             yield (packed.read_rows(rows),)
 
     packed_fps = drain(Prefetcher(packed_stream(), prefetch_depth=4))
+    # the streaming-training read path: shard-shuffle windows + lookahead
+    stream_fps = drain(Prefetcher(
+        packed.batch_stream(batch_size, shuffle=True, seed=2),
+        prefetch_depth=4))
+    # host sequential-copy ceiling (page-cache-warm memcpy bound)
+    shard0 = packed._shards[0]
+    buf = np.empty((4096,) + shard0.shape[1:], shard0.dtype)
+    t0 = time.perf_counter()
+    n_raw = 0
+    for s in range(0, len(shard0) - 4096 + 1, 4096):
+        np.copyto(buf, shard0[s:s + 4096])
+        n_raw += 4096
+    raw_fps = n_raw / (time.perf_counter() - t0)
     src.close()
     import shutil
 
@@ -359,6 +372,10 @@ def bench_ingestion(num_frames: int = 65536, frame_len: int = 1024,
         "hdf5_stream_gbps": hdf5_fps * frame_bytes / 1e9,
         "packed_mmap_fps": packed_fps,
         "packed_mmap_gbps": packed_fps * frame_bytes / 1e9,
+        "packed_stream_fps": stream_fps,
+        "packed_stream_gbps": stream_fps * frame_bytes / 1e9,
+        "host_sequential_fps": raw_fps,
+        "host_sequential_gbps": raw_fps * frame_bytes / 1e9,
         "value": packed_fps,
         "unit": "frames/s",
     }

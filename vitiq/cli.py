@@ -209,14 +209,26 @@ def cmd_sweep(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    import contextlib
+
     from vitiq.bench import run_benchmarks
 
-    result = run_benchmarks(which=args.which, batch_size=args.batch_size,
-                            steps=args.steps,
-                            n_head=getattr(args, "n_head", None),
-                            data_parallel=getattr(args, "data_parallel", None),
-                            sps=getattr(args, "sps", 2) or 2,
-                            timing_method=getattr(args, "timing_method", None))
+    ctx = contextlib.nullcontext()
+    if getattr(args, "trace", None):
+        # --trace DIR: capture a jax.profiler trace (Perfetto/XProf) of the
+        # bench window (SURVEY.md §5 tracing integration)
+        from vitiq.utils.profiling import trace_context
+
+        ctx = trace_context(args.trace)
+    with ctx:
+        result = run_benchmarks(
+            which=args.which, batch_size=args.batch_size, steps=args.steps,
+            n_head=getattr(args, "n_head", None),
+            data_parallel=getattr(args, "data_parallel", None),
+            sps=getattr(args, "sps", 2) or 2,
+            timing_method=getattr(args, "timing_method", None))
+    if getattr(args, "trace", None):
+        result["trace_dir"] = args.trace
     print(json.dumps(result, default=float))
     return 0
 
@@ -297,6 +309,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", type=int, default=None,
                    help="shard the bench batch over a data mesh of this "
                         "many devices (serving scale-out)")
+    p.add_argument("--trace", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the bench window "
+                        "into DIR (view with XProf/Perfetto)")
     p.set_defaults(fn=cmd_bench)
 
     return parser

@@ -187,9 +187,19 @@ def pack_split_to_npy(
 
 
 class PackedDataSource:
-    """Memory-mapped reader for `pack_split_to_npy` output."""
+    """Memory-mapped reader for `pack_split_to_npy` output.
 
-    def __init__(self, packed_dir: str | Path):
+    Threading policy (measured on this host, docs/BENCHMARKS.md round-3
+    ingestion table): the page-cache-warm ceiling is ~7.4 GB/s sequential
+    memcpy; random gathers run ~3.8 GB/s SERIAL and get SLOWER (~3.2) when
+    fanned over threads (GIL contention on many small copies), while the
+    one-shard batch_stream lookahead wins ~5% and overlaps real IO when the
+    cache is cold. So `read_rows` fans out only with `parallel_reads=True`
+    (cold-storage deployments), and the pool's default job is the
+    batch_stream shard lookahead."""
+
+    def __init__(self, packed_dir: str | Path, num_threads: int = 8,
+                 parallel_reads: bool = False):
         self.dir = Path(packed_dir)
         meta = json.loads((self.dir / "meta.json").read_text())
         self.num_rows: int = meta["num_rows"]
@@ -200,15 +210,37 @@ class PackedDataSource:
         self._shards = [
             np.load(p, mmap_mode="r") for p in sorted(self.dir.glob("x_*.npy"))
         ]
+        self.num_threads = num_threads
+        self.parallel_reads = parallel_reads
+        self._pool = None
+
+    def _ensure_pool(self):
+        if self._pool is None and self.num_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_threads,
+                thread_name_prefix="vitiq-packed-read")
+        return self._pool
 
     def read_rows(self, rows: np.ndarray) -> np.ndarray:
         rows = np.asarray(rows)
         out = np.empty((len(rows),) + self._shards[0].shape[1:], self._shards[0].dtype)
         shard_ids = rows // self.shard_rows
         offsets = rows % self.shard_rows
-        for sid in np.unique(shard_ids):
+        uniq = np.unique(shard_ids)
+
+        def fill(sid):
             m = shard_ids == sid
             out[m] = self._shards[sid][offsets[m]]
+
+        pool = (self._ensure_pool()
+                if self.parallel_reads and len(uniq) > 1 else None)
+        if pool is None:
+            for sid in uniq:
+                fill(sid)
+        else:
+            list(pool.map(fill, uniq))
         return out
 
     def batch_stream(
@@ -221,20 +253,39 @@ class PackedDataSource:
         """One epoch of (x, y, snr) batches; same contract as
         HDF5DataSource.batch_stream. Each mmap shard is one shuffle window:
         shard order and within-shard row order are both permuted under
-        `seed`, and only one shard's rows are resident at a time, so RSS is
-        bounded by shard_rows regardless of split size."""
+        `seed`, and only ~two shards' rows are resident at a time (the next
+        shard materializes on a background thread while the current one
+        drains), so RSS is bounded by 2x shard_rows regardless of split
+        size and shard IO overlaps consumption."""
         rng = np.random.default_rng(seed)
         shard_order = np.arange(len(self._shards))
         if shuffle:
             rng.shuffle(shard_order)
-        leftover = None
-        for sid in shard_order:
-            start_row = int(sid) * self.shard_rows
-            n_rows = self._shards[sid].shape[0]
-            order = rng.permutation(n_rows) if shuffle else np.arange(n_rows)
+        # draw per-shard permutations up front (in shard_order) so the
+        # stream is seed-deterministic regardless of prefetch timing
+        orders = [
+            rng.permutation(self._shards[sid].shape[0]) if shuffle
+            else np.arange(self._shards[sid].shape[0])
+            for sid in shard_order
+        ]
+
+        def load(i):
+            sid = int(shard_order[i])
+            start_row = sid * self.shard_rows
+            order = orders[i]
             x = np.asarray(self._shards[sid])[order]  # one sequential read
-            y = self.y[start_row + order]
-            z = self.z[start_row + order]
+            return x, self.y[start_row + order], self.z[start_row + order]
+
+        pool = self._ensure_pool()
+        fut = pool.submit(load, 0) if pool is not None else None
+        leftover = None
+        for i in range(len(shard_order)):
+            if fut is not None:
+                x, y, z = fut.result()
+                if i + 1 < len(shard_order):
+                    fut = pool.submit(load, i + 1)
+            else:
+                x, y, z = load(i)
             if leftover is not None:
                 x = np.concatenate([leftover[0], x])
                 y = np.concatenate([leftover[1], y])
