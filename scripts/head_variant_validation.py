@@ -31,6 +31,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 def main() -> int:
     import jax
 
+    from vitiq.utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     from vitiq.config import (TARGET_MODULATIONS_19, DataConfig,
                               ExperimentConfig, ModelConfig, TrainConfig)
     from vitiq.runner import run_training

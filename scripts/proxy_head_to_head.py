@@ -25,6 +25,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 def main() -> int:
     import jax
 
+    from vitiq.utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     from vitiq.config import ExperimentConfig
     from vitiq.runner import run_head_to_head
 

@@ -158,8 +158,9 @@ class TestViz:
     def test_unknown_synthetic_modulation(self, tmp_path):
         from vitiq.viz import run_visualization
 
+        # NOTE "FM" became a real synthetic class in round 3 (analog suite)
         with pytest.raises(ValueError):
-            run_visualization(output_dir=str(tmp_path), modulations=["FM"])
+            run_visualization(output_dir=str(tmp_path), modulations=["ZAP-9"])
 
 
 class TestBenchEntry:

@@ -201,3 +201,48 @@ class TestPrefetcher:
         assert next(it) == 1
         with pytest.raises(RuntimeError, match="boom"):
             list(it)
+
+
+class TestNativeGather:
+    def test_parity_with_numpy_and_fallback(self, tmp_path):
+        """The C gather must produce byte-identical reads; with
+        VITIQ_NO_NATIVE=1 the numpy fallback serves the same bytes."""
+        import os
+
+        from vitiq.data import native
+
+        rng = np.random.default_rng(0)
+        src = rng.standard_normal((256, 16, 2)).astype(np.float32)
+        rows = rng.permutation(256)[:64]
+        want = src[rows]
+        dst = np.zeros_like(want)
+        if native.available():
+            assert native.gather_rows(dst, src, rows)
+            np.testing.assert_array_equal(dst, want)
+            dst2 = np.zeros((256, 16, 2), np.float32)
+            assert native.gather_scatter_rows(dst2, rows, src, rows)
+            np.testing.assert_array_equal(dst2[rows], want)
+        # layout guard: non-contiguous source must refuse (not corrupt)
+        assert not native.gather_rows(dst, src[:, ::2], rows[:4])
+
+    def test_packed_read_rows_native_matches_numpy(self, small_hdf5, tmp_path, monkeypatch):
+        path, jpath, X = small_hdf5
+        src = HDF5DataSource(path, jpath)
+        idx = np.arange(120)
+        packed = pack_split_to_npy(src, idx, {"BPSK": 0, "QPSK": 1, "16QAM": 2},
+                                   tmp_path / "natpack", shard_rows=37)
+        ps = PackedDataSource(packed)
+        rows = np.random.default_rng(3).permutation(120)[:50]
+        got = ps.read_rows(rows)
+        monkeypatch.setenv("VITIQ_NO_NATIVE", "1")
+        import importlib
+
+        from vitiq.data import native
+        native._tried = False
+        native._lib = None
+        try:
+            want = ps.read_rows(rows)
+        finally:
+            native._tried = False
+            native._lib = None
+        np.testing.assert_array_equal(got, want)

@@ -995,8 +995,13 @@ def _pick_batch_block_v3_xpack(Lp: int, D: int, H: int, n_head: int,
                                itemsize: int) -> int:
     """VMEM-fitting G for the cross-head packed core: the full [nq, H*Lp]
     score/prob tensors plus two [H*Lp, D] block-diagonal scratches replace
-    the streamed 128-wide tiles, so G lands smaller than v3's."""
-    for g in (16, 8, 4, 2, 1):
+    the streamed 128-wide tiles, so G lands smaller than v3's. Returns 0
+    when even G=1 cannot fit (long sequences) — caller falls back to the
+    chained core. Measured on the flagship (Lp=144, H8): G=4 (9.2 MB
+    estimate) compiles and wins (69.2 ms vs 75.3 chained); G=2 loses
+    (88.6 ms, M=288-row matmuls + 4x grid steps); G=8 (18 MB) fails to
+    compile within the AOT budget."""
+    for g in (8, 4, 2, 1):
         x_like = g * Lp * D
         vmem = (
             2 * 2 * x_like * itemsize              # in/out double-buffered
@@ -1009,9 +1014,9 @@ def _pick_batch_block_v3_xpack(Lp: int, D: int, H: int, n_head: int,
             + 2 * g * Lp * H * itemsize            # ffn hidden (+relu copy)
             + 2 * x_like * 4                       # f32 LN temps / residuals
         )
-        if vmem <= 9 * 1024 * 1024:
+        if vmem <= 10 * 1024 * 1024:
             return g
-    return 1
+    return 0
 
 
 _LOG2E = 1.4426950408889634
@@ -1050,7 +1055,7 @@ def fused_encoder_layer_v3_stack(
     # width, not ceil(N/128), so there was nothing to win. Kept (gated +
     # tested) as the record of that measurement.
     g_override = g_override or int(os.environ.get("VITIQ_V3_G", "0")) or None
-    layers_per_call = layers_per_call or int(os.environ.get("VITIQ_V3_LPC", "0")) or 2
+    layers_per_call = layers_per_call or int(os.environ.get("VITIQ_V3_LPC", "0")) or 0
     _tail_env = os.environ.get("VITIQ_V3_TAIL", "0")
     vpu_tail = "drop" if _tail_env == "drop" else _tail_env != "0"
     # VITIQ_V3_PROBE (timing-only kernel surgery, wrong outputs):
@@ -1090,22 +1095,40 @@ def fused_encoder_layer_v3_stack(
         if pack < 0:
             pack = 2 if 64 < Lp <= 96 else 1
         pack = max(1, pack)
-    # VITIQ_V3_ATTN=xpack: cross-head packed attention core — one block-
-    # diagonal GEMM chain instead of H serialized per-head chains (see
-    # _v3_attention_core_xpack). Incompatible with the per-head probe /
-    # grouping / packing / int8 variants and the non-div epilogues.
-    xpack = (os.environ.get("VITIQ_V3_ATTN") == "xpack"
+    # Attention-core selector (VITIQ_V3_ATTN): "xpack" (DEFAULT where
+    # eligible) = cross-head packed block-diagonal core — one GEMM chain
+    # instead of H serialized per-head chains (_v3_attention_core_xpack;
+    # measured +9% on the flagship, round-3 table in docs/BENCHMARKS.md);
+    # "chain" = the round-2 per-head streamed core. xpack is incompatible
+    # with the per-head probe / grouping / packing / int8 variants and the
+    # non-div epilogues, and falls back when its VMEM footprint cannot fit
+    # even at G=1 (long sequences).
+    _attn_env = os.environ.get("VITIQ_V3_ATTN", "auto")
+    xpack = (_attn_env in ("auto", "xpack")
              and not attn_int8 and head_group == 1 and not vpu_tail
-             and pack == 1 and probe is None and epi == "div")
+             and pack == 1 and probe is None and epi == "div"
+             # auto engages only in the measured-win regime (Lp>=96, i.e.
+             # the flagship family); short sequences (seg-64 Lp=32) keep the
+             # chained core — their xpack compile ran past the 10-min remote
+             # AOT window unresolved. VITIQ_V3_ATTN=xpack forces it anywhere.
+             and (_attn_env == "xpack" or Lp >= 96))
     Lpk = Lp * pack
     ffn_h = max(lp_["ffn"]["linear1"]["kernel"].shape[1]
                 for lp_ in layer_params_list)
     if xpack:
         G = g_override or _pick_batch_block_v3_xpack(
             Lp, D, ffn_h, n_head, x.dtype.itemsize)
-    else:
+        if G == 0:
+            xpack = False
+    if not xpack:
         G = g_override or _pick_batch_block_v3(Lpk, D, ffn_h,
                                                x.dtype.itemsize)
+    if not layers_per_call:
+        # xpack: ONE pallas_call for the whole full-layer stack measured
+        # fastest (LPC 2/3/6 -> 69.2/68.2/66.7 ms on the flagship; weights
+        # stay VMEM-resident across layers). The chained core keeps the
+        # round-2 default of 2 (6-layers-per-call measured 95.0 vs 87.1).
+        layers_per_call = len(layer_params_list) if xpack else 2
     Bp = _round_up(B, G * pack)
     xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
     if pack > 1:
