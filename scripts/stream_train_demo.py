@@ -9,9 +9,11 @@ sequential reads -> StreamFeed -> device_prefetch) and reports:
     window + prefetch queue), proving run_training no longer materializes
     splits (the round-2 gap: the real 19-class RadioML train split is
     ~19 GB and the entry point loaded whole splits into RAM);
-  * per-step p50/p90 (fit profile_steps) vs the same model trained on an
-    in-RAM slice of identical batch shape — the input pipeline must not
-    stall the step.
+  * throughput: train_frames_per_s derives from EPOCH WALL TIME (honest on
+    every backend); step_p50/p90 are also reported but are a host-dispatch
+    metric on remote-relay TPU backends (per-call sync under-reports there
+    — CLAUDE.md timing rule), so the pipeline-stall judgement uses the
+    wall-clock rate vs the known compute-only step rate.
 
 Usage: python scripts/stream_train_demo.py [gb] [epochs]
 Default 8 GB corpus (1M frames of 1024x2 f32), 1 epoch. CPU-safe:
@@ -61,21 +63,23 @@ def main() -> int:
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
             labels = rng.integers(0, len(mods), e - s)
+            # ONE SNR draw per frame: the same values scale the noise AND
+            # land in Z, so per-SNR evaluation bins are truthful
+            snr_all = rng.choice([0.0, 10.0, 20.0], e - s)
             x = np.empty((e - s, frame_len, 2), np.float32)
             for li, mod in enumerate(mods):
                 m = labels == li
                 if not m.any():
                     continue
                 sig = generate_frames(mod, int(m.sum()), frame_len, rng)
-                snr = rng.choice([0.0, 10.0, 20.0], int(m.sum()))
-                ns = np.sqrt(10.0 ** (-snr / 10.0) / 2.0)[:, None]
+                ns = np.sqrt(10.0 ** (-snr_all[m] / 10.0) / 2.0)[:, None]
                 sig = sig + ns * (rng.standard_normal(sig.shape)
                                   + 1j * rng.standard_normal(sig.shape))
                 x[m, :, 0] = sig.real.astype(np.float32)
                 x[m, :, 1] = sig.imag.astype(np.float32)
             X[s:e] = x
             Y[s:e] = np.eye(len(mods), dtype=np.int64)[labels]
-            Z[s:e] = rng.choice([0.0, 10.0, 20.0], (e - s, 1))
+            Z[s:e] = snr_all[:, None]
     pathlib.Path(f"{tmp}/classes.json").write_text(json.dumps(mods))
     write_rss = peak_rss_gb()
     print(f"write done in {time.perf_counter() - t0:.0f}s "

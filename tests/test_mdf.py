@@ -42,6 +42,16 @@ def test_mdf_transform_contract():
                         (np.asarray(x)[..., 1] + 0.25) / 0.5], -1)
     np.testing.assert_allclose(np.asarray(iq_s), want_iq, rtol=1e-6)
     assert not np.allclose(np.asarray(amp_s), np.asarray(amp))
+    # dataset-level amp_max (the notebook's amp_all.max() scalar): amplitude
+    # divides by THAT constant, so cross-frame scale is preserved (frames no
+    # longer all peak at 1.0)
+    stats_amax = dict(stats, amp_max=7.5)
+    amp_g, _, _ = preprocess_batch_mdf(x, stats=stats_amax)
+    amp_raw = np.sqrt(want_iq[..., 0] ** 2 + want_iq[..., 1] ** 2)
+    np.testing.assert_allclose(np.asarray(amp_g).reshape(5, -1),
+                               amp_raw.reshape(5, -1) / 7.5, rtol=1e-5)
+    frame_maxes = np.asarray(amp_g).reshape(5, -1).max(axis=1)
+    assert frame_maxes.std() > 1e-6  # per-frame peaks differ
 
 
 def test_mdf_forward_shapes_and_jit():

@@ -355,13 +355,14 @@ def bench_ingestion(num_frames: int = 65536, frame_len: int = 1024,
         prefetch_depth=4))
     # host sequential-copy ceiling (page-cache-warm memcpy bound)
     shard0 = packed._shards[0]
-    buf = np.empty((4096,) + shard0.shape[1:], shard0.dtype)
+    blk = min(4096, len(shard0))
+    buf = np.empty((blk,) + shard0.shape[1:], shard0.dtype)
     t0 = time.perf_counter()
     n_raw = 0
-    for s in range(0, len(shard0) - 4096 + 1, 4096):
-        np.copyto(buf, shard0[s:s + 4096])
-        n_raw += 4096
-    raw_fps = n_raw / (time.perf_counter() - t0)
+    for s in range(0, len(shard0) - blk + 1, blk):
+        np.copyto(buf, shard0[s:s + blk])
+        n_raw += blk
+    raw_fps = n_raw / max(time.perf_counter() - t0, 1e-9)
     src.close()
     import shutil
 

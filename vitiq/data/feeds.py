@@ -57,6 +57,9 @@ class DataFeed:
         """Sequential un-padded (x, y, snr) batches (final may be partial)."""
         raise NotImplementedError
 
+    def close(self) -> None:
+        """Release any underlying storage handle (no-op for in-RAM feeds)."""
+
 
 class ArrayFeed(DataFeed):
     """In-RAM feed over (x, y[, snr]) arrays.
@@ -101,10 +104,17 @@ class StreamFeed(DataFeed):
     """
 
     def __init__(self, make_iter: Callable[..., Iterator[RawBatch]],
-                 num_samples: int, shuffle_seed: int = 0):
+                 num_samples: int, shuffle_seed: int = 0, source=None):
         self._make_iter = make_iter
         self.num_samples = num_samples
         self.shuffle_seed = shuffle_seed
+        # the storage object behind make_iter (closed by close() — streaming
+        # runs open one handle per split and must not leak them)
+        self.source = source
+
+    def close(self) -> None:
+        if self.source is not None and hasattr(self.source, "close"):
+            self.source.close()
 
     def train_batches(self, epoch: int, batch_size: int) -> Iterator[Batch]:
         it = self._make_iter(batch_size=batch_size, shuffle=True,

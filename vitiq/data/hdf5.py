@@ -40,6 +40,10 @@ class HDF5DataSource:
         self._file = None
         (self.y_strings, self.z, self.available_modulations, self.total_samples
          ) = load_dataset_metadata(self.file_path, self.json_path)
+        import h5py
+
+        with h5py.File(self.file_path, "r") as f:
+            self.frame_len = int(f["X"].shape[1])
 
     # -- lifecycle ---------------------------------------------------------
     def _x(self):

@@ -33,20 +33,10 @@ _NEG_INF = -1e30
 LN_EPS = 1e-12
 
 
-def _generic_interpret() -> bool:
-    """VITIQ_PALLAS_INTERPRET=1: run every pallas_call through the GENERIC
-    pallas interpreter (plain JAX ops). Unlike pltpu.force_tpu_interpret_mode
-    this composes with jax.shard_map/jit partitioning on multi-device CPU
-    meshes, so the virtual-mesh dryrun can certify the fused kernels'
-    shard_map plumbing + numerics without TPU hardware."""
-    import os
-
-    return os.environ.get("VITIQ_PALLAS_INTERPRET") == "1"
-
-
-def _pallas_call(*args, **kwargs):
-    kwargs.setdefault("interpret", _generic_interpret())
-    return pl.pallas_call(*args, **kwargs)
+from vitiq.ops.pallas._common import (  # noqa: E402
+    generic_interpret as _generic_interpret,
+    pallas_call as _pallas_call,
+)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -105,7 +105,17 @@ def ambient_mesh() -> Optional[Mesh]:
 
         m = mesh_lib.thread_resources.env.physical_mesh
         return None if m.empty else m
-    except Exception:
+    except (ImportError, AttributeError):
+        # private jax._src API moved (JAX upgrade): returning None would
+        # SILENTLY disable the shard_map wrapping and the TP guard, so make
+        # the breakage visible once rather than eat it
+        import warnings
+
+        warnings.warn(
+            "vitiq.parallel.mesh.ambient_mesh: jax internal thread_resources "
+            "API unavailable in this JAX version — fused kernels will not "
+            "see ambient meshes (multi-chip fused paths degrade)",
+            stacklevel=2)
         return None
 
 

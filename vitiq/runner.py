@@ -79,10 +79,33 @@ def _build_arm_preprocess(cfg: ExperimentConfig, stats: Dict[str, float]) -> Cal
     return lambda x: preprocess_batch_rawiq(x, stats)
 
 
+def _check_frame_geometry(cfg: ExperimentConfig, frame_len: int) -> None:
+    """Fail FAST when the dataset's frame length (after SPS decimation)
+    doesn't match the model — the synthetic source validates this in
+    ExperimentConfig.validate, but the hdf5 frame length is only knowable
+    once the file is open (round-3 review finding: --source hdf5 --sps 2
+    with a stale seq_length crashed deep inside the jitted forward)."""
+    if frame_len % cfg.data.sps:
+        raise ValueError(
+            f"dataset frame length ({frame_len}) must be a multiple of "
+            f"data.sps ({cfg.data.sps})")
+    eff = frame_len // cfg.data.sps
+    if cfg.model.arm == "rawiq" and cfg.model.seq_length != eff:
+        raise ValueError(
+            f"model.seq_length ({cfg.model.seq_length}) != effective frame "
+            f"length ({eff} = dataset frame_len {frame_len} / sps {cfg.data.sps})")
+    if (cfg.model.arm == "vit" and cfg.data.features == "iq"
+            and cfg.model.img_size_h * cfg.model.img_size_w != 2 * eff):
+        raise ValueError(
+            f"ViT image {cfg.model.img_size_h}x{cfg.model.img_size_w} must "
+            f"hold 2*(frame_len/sps) = {2 * eff} values")
+
+
 def load_experiment_data(cfg: ExperimentConfig):
     """Returns (splits dict of (x, y, snr), stats, class_names)."""
     if cfg.data.source == "hdf5":
         src = HDF5DataSource(cfg.data.file_path, cfg.data.json_path)
+        _check_frame_geometry(cfg, src.frame_len)
         s = src.split(cfg.data)
         stats = src.normalization_stats(s.train, cfg.data)
         splits = {}
@@ -130,6 +153,7 @@ def load_experiment_feeds(cfg: ExperimentConfig):
         import functools
 
         meta_src = HDF5DataSource(cfg.data.file_path, cfg.data.json_path)
+        _check_frame_geometry(cfg, meta_src.frame_len)
         s = meta_src.split(cfg.data)
         stats = meta_src.normalization_stats(s.train, cfg.data)
         meta_src.close()
@@ -140,6 +164,7 @@ def load_experiment_feeds(cfg: ExperimentConfig):
                 functools.partial(src.batch_stream, idx, s.label_map,
                                   window_rows=cfg.data.stream_window_rows),
                 num_samples=len(idx), shuffle_seed=cfg.train.shuffle_seed,
+                source=src,
             )
         return feeds, stats, list(cfg.data.target_modulations)
 
@@ -223,6 +248,8 @@ def run_training(
                   f"{exp_dir / 'checkpoint_interrupted.npz'} (epoch {last['epoch'] + 1})")
         else:
             print("interrupted before the first epoch completed — nothing to rescue")
+        for f in feeds.values():
+            f.close()
         raise
     train_wall = time.perf_counter() - t0
 
@@ -273,6 +300,8 @@ def run_training(
     (exp_dir / "summary.json").write_text(json.dumps(
         {k: v for k, v in summary.items() if k != "history"}, indent=2, default=float
     ))
+    for f in feeds.values():
+        f.close()  # streaming feeds hold one HDF5 handle per split
     return summary
 
 
@@ -365,8 +394,12 @@ def run_evaluation(
         fwd = make_forward(cfg.model)
 
     from vitiq.eval import evaluate_feed_with_confusion
-    return evaluate_feed_with_confusion(
-        fwd, params, feeds[dataset], class_names, exp_dir / "evaluation",
-        prefix=prefix, batch_size=cfg.train.batch_size,
-        preprocess_fn=preprocess, verbose=verbose,
-    )
+    try:
+        return evaluate_feed_with_confusion(
+            fwd, params, feeds[dataset], class_names, exp_dir / "evaluation",
+            prefix=prefix, batch_size=cfg.train.batch_size,
+            preprocess_fn=preprocess, verbose=verbose,
+        )
+    finally:
+        for f in feeds.values():
+            f.close()

@@ -170,13 +170,12 @@ def eval_batches(
 
 
 def evaluate_epoch(eval_step, params, x, y, batch_size: int, sharding=None) -> Dict[str, float]:
-    loss_sum = correct_sum = count = 0.0
-    for bx, by, mask, _ in eval_batches(x, y, batch_size, sharding):
-        m = eval_step(params, bx, by, mask)
-        loss_sum += float(m["loss_sum"])
-        correct_sum += float(m["correct_sum"])
-        count += float(m["count"])
-    return {"loss": loss_sum / count, "accuracy": correct_sum / count}
+    """evaluate_feed over in-RAM arrays — one accumulation/padding path for
+    the array and streaming cases (the padding semantics live only in
+    feeds._pad_eval)."""
+    from vitiq.data.feeds import ArrayFeed
+
+    return evaluate_feed(eval_step, params, ArrayFeed(x, y), batch_size, sharding)
 
 
 def evaluate_feed(eval_step, params, feed: DataFeed, batch_size: int,
@@ -246,7 +245,11 @@ def fit(
     profile=True records dispatch-synchronized per-step wall times
     (StepTimer) and adds per-epoch step_p50/step_p90 to history; each
     step then blocks on its own output, trading a little pipelining for
-    honest step latencies.
+    honest step latencies. CAVEAT (CLAUDE.md timing rule): through a
+    REMOTE-dispatch TPU transport, per-call block_until_ready can ack
+    before device execution and under-report wildly — on such backends
+    treat epoch_time (wall clock over many steps) as the honest number
+    and step_p50/p90 as a host-side dispatch metric only.
     """
     tcfg = cfg.train
     if mesh is None:
