@@ -46,30 +46,48 @@ def main() -> int:
                 else ("tpu" if jax.default_backend() == "tpu" else "reference"))
 
     classes = TARGET_MODULATIONS_19
+    # WEDGE RESILIENCE: every completed run appends one line to the JSONL
+    # ledger, and a restart skips runs already recorded — a hung remote
+    # compile (observed: one 25-min stall) costs one retry, not the batch.
+    ledger = pathlib.Path("head_variant_runs.jsonl")
+    done = {}
+    if ledger.exists():
+        for line in ledger.read_text().splitlines():
+            rec = json.loads(line)
+            done[(rec["n_head"], rec["seed"])] = rec
+
     results = {}
     for n_head in (8, 4, 2):
         accs, vlosses = [], []
         for seed in seeds:
-            cfg = ExperimentConfig(
-                model=ModelConfig(arm="vit", num_classes=len(classes),
-                                  d_model=128, n_head=n_head, n_layers=6,
-                                  ffn_hidden=512, drop_prob=0.1, patch_size=4,
-                                  numerics=numerics),
-                data=DataConfig(source="synthetic", synthetic_classes=classes,
-                                synthetic_frames_per_class=frames_per_class,
-                                synthetic_snr_db=(0.0, 4.0, 8.0, 12.0, 16.0, 20.0),
-                                synthetic_seed=seed),
-                train=TrainConfig(batch_size=256, num_epochs=epochs,
-                                  patience=epochs, init_seed=seed,
-                                  dropout_seed=seed + 100,
-                                  shuffle_seed=seed + 200),
-                experiment_name=f"head_variant_h{n_head}_s{seed}",
-                checkpoint_dir="/tmp/head_variant/ckpt",
-                log_dir="/tmp/head_variant/logs",
-            )
-            summary = run_training(cfg, verbose=False)
-            accs.append(summary.get("test_overall_accuracy"))
-            vlosses.append(summary.get("best_val_loss"))
+            rec = done.get((n_head, seed))
+            if rec is None:
+                cfg = ExperimentConfig(
+                    model=ModelConfig(arm="vit", num_classes=len(classes),
+                                      d_model=128, n_head=n_head, n_layers=6,
+                                      ffn_hidden=512, drop_prob=0.1, patch_size=4,
+                                      numerics=numerics),
+                    data=DataConfig(source="synthetic", synthetic_classes=classes,
+                                    synthetic_frames_per_class=frames_per_class,
+                                    synthetic_snr_db=(0.0, 4.0, 8.0, 12.0, 16.0, 20.0),
+                                    synthetic_seed=seed),
+                    train=TrainConfig(batch_size=256, num_epochs=epochs,
+                                      patience=epochs, init_seed=seed,
+                                      dropout_seed=seed + 100,
+                                      shuffle_seed=seed + 200),
+                    experiment_name=f"head_variant_h{n_head}_s{seed}",
+                    checkpoint_dir="/tmp/head_variant/ckpt",
+                    log_dir="/tmp/head_variant/logs",
+                )
+                summary = run_training(cfg, verbose=False)
+                rec = {"n_head": n_head, "seed": seed,
+                       "test_overall_accuracy": summary["test_overall_accuracy"],
+                       "best_val_loss": summary["best_val_loss"],
+                       "epochs_run": summary["epochs_run"]}
+                with ledger.open("a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            accs.append(rec["test_overall_accuracy"])
+            vlosses.append(rec["best_val_loss"])
             print(f"n_head={n_head} seed={seed}: test acc {accs[-1]:.4f}",
                   flush=True)
 
