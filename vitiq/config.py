@@ -229,6 +229,12 @@ class TrainConfig:
     # host->device feeding: background-prefetch queue depth (parity with the
     # reference loader's prefetch_factor=3, ref: ViT/training/train.py:99)
     prefetch_depth: int = 3
+    # bound on async-dispatch depth: fetch one loss scalar every N train
+    # steps so the device FIFO drains and in-flight H2D batch buffers are
+    # released (without it the host can enqueue an entire epoch ahead —
+    # measured 11 GB RSS streaming an 8 GB corpus through the remote relay).
+    # 0 disables.
+    dispatch_sync_steps: int = 64
     # record dispatch-synchronized per-step wall times (StepTimer) and emit
     # per-epoch step_p50/step_p90 into history
     profile_steps: bool = False
