@@ -288,6 +288,25 @@ class TestDataParallel:
             make_multislice_mesh(dcn_data=16)
 
 
+def test_dispatch_sync_does_not_change_trajectory():
+    """dispatch_sync_steps (the async-dispatch depth bound that keeps RSS
+    bounded on out-of-core runs) is a pure scheduling knob: syncing every
+    step vs never must produce the identical training trajectory."""
+    cfg_a = tiny_experiment(num_epochs=2)
+    cfg_a.train.dispatch_sync_steps = 1
+    cfg_b = tiny_experiment(num_epochs=2)
+    cfg_b.train.dispatch_sync_steps = 0
+    train, valid, pre = tiny_data(n_per_class=128)
+    fwd = make_forward(cfg_a.model)
+    params = init_amc_params(jax.random.PRNGKey(0), cfg_a.model)
+    ra = fit(cfg_a, fwd, params, train, valid, preprocess_fn=pre, verbose=False)
+    rb = fit(cfg_b, fwd, params, train, valid, preprocess_fn=pre, verbose=False)
+    np.testing.assert_allclose(ra.history["train_loss"], rb.history["train_loss"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(ra.history["val_loss"], rb.history["val_loss"],
+                               rtol=1e-6)
+
+
 def test_rbg_dropout_key_path():
     """The TPU-fast RBG dropout key (vitiq/train/loop.py:_as_rbg_key) must
     drive the forward identically in structure: same shapes, deterministic
