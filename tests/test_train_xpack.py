@@ -193,3 +193,78 @@ def test_supported_geometries():
     assert xpack_train_supported(129, 128, 512, 8)      # flagship
     assert xpack_train_supported(129, 128, 512, 4)      # H4 production
     assert not xpack_train_supported(1025, 128, 1024, 8)  # conv1d: fallback
+
+
+class TestUnderMesh:
+    """Virtual 8-device mesh certification (pattern of test_mesh_fused.py):
+    pallas lowers through the GENERIC interpreter, which composes with
+    shard_map — and unlike the chained module's TPU-PRNG dropout, the hash
+    masks are plain jnp ops, so the DROPOUT path is certifiable here too."""
+
+    @pytest.fixture(autouse=True)
+    def _generic_interpret(self, monkeypatch):
+        monkeypatch.setenv("VITIQ_PALLAS_INTERPRET", "1")
+
+    def _mesh(self):
+        from jax.sharding import Mesh
+        return Mesh(np.array(jax.devices()[:8]).reshape(8, 1),
+                    ("data", "model"))
+
+    def test_grads_match_autodiff_through_shard_map(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self._mesh()
+        params = L.encoder_layer_init(jax.random.PRNGKey(3), 128, 256)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((16, 17, 128)), jnp.float32)
+        tgt = jnp.asarray(rng.standard_normal((16, 17, 128)), jnp.float32)
+        xs = jax.device_put(x, NamedSharding(mesh, P(("data",))))
+
+        def loss_fused(p, xx):
+            sm = jax.shard_map(
+                lambda xx_, ll, s: fused_train_layer_stack_xpack(
+                    xx_, ll, 8, 0.0, s),
+                mesh=mesh, in_specs=(P(("data",)), P(), P()),
+                out_specs=P(("data",)), check_vma=False)
+            return jnp.mean((sm(xx, [p], jnp.int32(7)) - tgt) ** 2)
+
+        def loss_ref(p, xx):
+            y = _xla_layer(p, xx, 8)
+            return jnp.mean((y - tgt) ** 2)
+
+        with mesh:
+            gp, gx = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(params, xs)
+            gp = jax.device_get(gp)
+            gx = np.asarray(gx)
+        rgp, rgx = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+        np.testing.assert_allclose(gx, np.asarray(rgx), atol=1e-4, rtol=1e-3)
+        for a, b in zip(jax.tree_util.tree_leaves(gp),
+                        jax.tree_util.tree_leaves(rgp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-3)
+
+    def test_dropout_is_shard_local_under_shard_map(self):
+        """shard_map(stack) must equal per-shard local calls — the hash
+        masks are a function of LOCAL batch position + seed, so the sharded
+        forward is bit-identical to running each shard alone (the per-shard
+        seed fold that decorrelates masks lives one level up, in
+        encoder_apply)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self._mesh()
+        params = L.encoder_layer_init(jax.random.PRNGKey(6), 128, 256)
+        x = jnp.asarray(np.random.default_rng(8).standard_normal((16, 17, 128)),
+                        jnp.float32)
+        sm = jax.shard_map(
+            lambda xx_, ll, s: fused_train_layer_stack_xpack(
+                xx_, ll, 4, 0.3, s),
+            mesh=mesh, in_specs=(P(("data",)), P(), P()),
+            out_specs=P(("data",)), check_vma=False)
+        with mesh:
+            xs = jax.device_put(x, NamedSharding(mesh, P(("data",))))
+            got = np.asarray(jax.jit(sm)(xs, [params], jnp.int32(21)))
+        want = np.concatenate([
+            np.asarray(fused_train_layer_stack_xpack(
+                x[i * 2:(i + 1) * 2], [params], 4, 0.3, 21))
+            for i in range(8)])
+        np.testing.assert_array_equal(got, want)
