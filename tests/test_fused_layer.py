@@ -195,16 +195,27 @@ def test_v3_batch_packed_matches_unpacked(Lx, n_head, p, monkeypatch):
     np.testing.assert_allclose(got, got_unpacked, atol=1e-5)
 
 
-@pytest.mark.parametrize("n_layers", [2, 3])
-def test_v3_fused_cls_tail_matches(n_layers, monkeypatch):
-    """VITIQ_V3_FUSECLS=1 (last full layer + CLS layer in one pallas call,
-    intermediate activation VMEM-resident) must match the two-call path."""
+@pytest.mark.parametrize("n_layers,attn", [
+    (2, "chain"), (3, "chain"),  # round-2 combo: last full layer + CLS
+    (2, "xpack"), (3, "xpack"),  # mono: ENTIRE stack + CLS in one call
+])
+def test_v3_fused_cls_tail_matches(n_layers, attn, monkeypatch):
+    """VITIQ_V3_FUSECLS=1 must match the two-call path on both cores: under
+    the chained core it merges the last full layer with the CLS layer; under
+    xpack it merges the ENTIRE stack (inter-layer activation VMEM-resident,
+    zero full-activation HBM round-trips)."""
     from vitiq.ops.pallas.fused_encoder_layer import fused_encoder_layer_v3_stack
 
+    monkeypatch.setenv("VITIQ_V3_ATTN", attn)
     rng = np.random.default_rng(61)
     ps = [L.encoder_layer_init(jax.random.PRNGKey(95 + i), 128, 256)
           for i in range(n_layers)]
     x = jnp.asarray(rng.standard_normal((3, 129, 128)), jnp.float32)
+    ref = x
+    for p in ps:
+        ref = L.encoder_layer_apply(p, ref, 8, 0.0, None, False,
+                                    policy=REFERENCE)
+    ref = np.asarray(ref)
     with pltpu.force_tpu_interpret_mode():
         monkeypatch.setenv("VITIQ_V3_FUSECLS", "0")
         two_call = np.asarray(fused_encoder_layer_v3_stack(x, ps, 8,
@@ -214,6 +225,7 @@ def test_v3_fused_cls_tail_matches(n_layers, monkeypatch):
                                                         cls_only=True))
     assert fused.shape == (3, 1, 128)
     np.testing.assert_allclose(fused, two_call, atol=1e-5)
+    np.testing.assert_allclose(fused[:, 0], ref[:, 0], atol=1e-4)
 
 
 def test_v3_batch_packed_cls_only(monkeypatch):

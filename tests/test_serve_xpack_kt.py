@@ -62,3 +62,44 @@ def test_kt_env_override(monkeypatch):
 def test_picker_covers_conv1d():
     g, kt = pick_kt(1040, 128, 1024, 8, 2)  # the conv1d serving geometry
     assert g >= 1 and kt >= 32
+
+
+def test_lpc_split_matches_one_call(monkeypatch):
+    """VITIQ_KT_LPC=1 (one layer per pallas_call — the compile-time lever for
+    long stacks) must match the default whole-stack call exactly."""
+    rng = np.random.default_rng(3)
+    p0 = L.encoder_layer_init(jax.random.PRNGKey(4), 128, 256)
+    p1 = L.encoder_layer_init(jax.random.PRNGKey(5), 128, 256)
+    x = jnp.asarray(rng.standard_normal((2, 200, 128)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        one_call = np.asarray(
+            fused_encoder_layer_xpack_kt_stack(x, [p0, p1], 8))
+        monkeypatch.setenv("VITIQ_KT_LPC", "1")
+        split = np.asarray(
+            fused_encoder_layer_xpack_kt_stack(x, [p0, p1], 8))
+    np.testing.assert_allclose(split, one_call, atol=1e-6)
+
+
+@pytest.mark.parametrize("cls_only", [False, True])
+def test_v3_stack_routes_kt(cls_only, monkeypatch):
+    """fused_encoder_layer_v3_stack with VITIQ_V3_ATTN=kt must route the full
+    layers through the key-tiled stack (and the CLS tail through the
+    single-layer recursion) with reference parity — the wiring the conv1d
+    long-sequence fallback rides."""
+    from vitiq.ops.pallas.fused_encoder_layer import (
+        fused_encoder_layer_v3_stack,
+    )
+
+    monkeypatch.setenv("VITIQ_V3_ATTN", "kt")
+    rng = np.random.default_rng(4)
+    p0 = L.encoder_layer_init(jax.random.PRNGKey(6), 128, 256)
+    p1 = L.encoder_layer_init(jax.random.PRNGKey(7), 128, 256)
+    x = jnp.asarray(rng.standard_normal((2, 200, 128)), jnp.float32)
+    ref = np.asarray(_xla_layer(p1, _xla_layer(p0, x, 8), 8))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_encoder_layer_v3_stack(
+            x, [p0, p1], 8, cls_only=cls_only))
+    if cls_only:
+        np.testing.assert_allclose(got[:, 0], ref[:, 0], atol=1e-4)
+    else:
+        np.testing.assert_allclose(got, ref, atol=1e-4)

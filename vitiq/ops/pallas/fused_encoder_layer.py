@@ -1110,6 +1110,32 @@ def fused_encoder_layer_v3_stack(
             Lp, D, ffn_h, n_head, x.dtype.itemsize)
         if G == 0:
             xpack = False
+    # KEY-TILED packed fallback (serve_xpack_kt.py): where the monolithic
+    # xpack core cannot fit VMEM even at G=1 — in practice the conv1d
+    # long-sequence arm (1025 tokens) — the same block-diagonal GEMM chain
+    # runs tiled over key blocks, turning ~72 serialized narrow per-head
+    # stages per layer into ceil(Lp/kt) packed steps. Auto engages it only
+    # in that G=0 regime; VITIQ_V3_ATTN=kt forces it anywhere it fits. The
+    # CLS-only tail recurses into this stack (single-layer CLS call).
+    _kt = (_attn_env in ("auto", "kt") and not xpack
+           and not attn_int8 and head_group == 1 and not vpu_tail
+           and pack == 1 and probe is None and epi == "div"
+           and len(layer_params_list) > (1 if cls_only else 0)
+           and (_attn_env == "kt" or Lp >= 96))
+    if _kt:
+        from vitiq.ops.pallas.serve_xpack_kt import (
+            fused_encoder_layer_xpack_kt_stack, pick_kt)
+        g_kt = (int(os.environ.get("VITIQ_KT_G", "0"))
+                or pick_kt(Lp, D, ffn_h, n_head, x.dtype.itemsize)[0])
+        if g_kt or _attn_env == "kt":
+            full = layer_params_list[:-1] if cls_only else layer_params_list
+            y = fused_encoder_layer_xpack_kt_stack(x, full, n_head,
+                                                   seq_len=seq_len)
+            if not cls_only:
+                return y
+            return fused_encoder_layer_v3_stack(
+                y, layer_params_list[-1:], n_head, seq_len=seq_len,
+                g_override=g_override, cls_only=True)
     if not xpack:
         G = g_override or _pick_batch_block_v3(Lpk, D, ffn_h,
                                                x.dtype.itemsize)
@@ -1176,6 +1202,58 @@ def fused_encoder_layer_v3_stack(
         ]
 
     N_OPS = 12
+    if xpack and fusecls:
+        # FUSECLS under xpack: ONE pallas_call for the ENTIRE stack — all
+        # full layers through the packed core with the inter-layer activation
+        # in a VMEM scratch, then the CLS-only tail. Removes the
+        # full-activation HBM write+read between the last full layer and the
+        # CLS call AND one dispatch vs the two-call xpack default. (The
+        # round-2 fusecls loss, 77.1 vs 75.8 ms, was measured on the chained
+        # core merging only the last full layer — this merges all of them.)
+        rq = 8
+        flat = ([op for lp_ in full_layers for op in layer_operands(lp_)]
+                + layer_operands(layer_params_list[-1]))
+        out_block = pl.BlockSpec((G, rq, D), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+        def mono_kernel(x_ref, *rest, n_full=len(full_layers)):
+            w = rest[:-10]
+            (o_ref, mid_s, attn_s, nums_s, dens_s, kp_s, vp_s,
+             attn_c, nums_c, dens_c) = rest[-10:]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _zero():
+                kp_s[:] = jnp.zeros_like(kp_s)
+                vp_s[:] = jnp.zeros_like(vp_s)
+
+            for c in range(n_full):
+                src = x_ref if c == 0 else mid_s
+                _fused_layer_kernel_v3(
+                    src, *w[c * N_OPS:(c + 1) * N_OPS], mid_s,
+                    attn_s, nums_s, dens_s,
+                    seq_len=seq_len, n_head=n_head,
+                    kp_ref=kp_s, vp_ref=vp_s, xpack_zero_fill=False)
+            _fused_layer_kernel_v3_cls(
+                mid_s, *w[n_full * N_OPS:], o_ref, attn_c, nums_c, dens_c,
+                seq_len=seq_len, n_head=n_head, vpu_tail=vpu_tail, epi=epi)
+
+        out = _pallas_call(
+            mono_kernel,
+            grid=(Bp // G,),
+            in_specs=[data_block] + [rep(o.shape) for o in flat],
+            out_specs=out_block,
+            out_shape=jax.ShapeDtypeStruct((Bp, rq, D), x.dtype),
+            scratch_shapes=[pltpu.VMEM((G, Lp, D), x.dtype),      # mid act
+                            pltpu.VMEM((G, Lp, D), x.dtype),      # attn
+                            pltpu.VMEM((G, Lp, D), jnp.float32),  # nums
+                            pltpu.VMEM((G, Lp, n_head), jnp.float32),
+                            pltpu.VMEM((G, n_head * Lp, D), x.dtype),
+                            pltpu.VMEM((G, n_head * Lp, D), x.dtype),
+                            pltpu.VMEM((G, rq, D), x.dtype),
+                            pltpu.VMEM((G, rq, D), jnp.float32),
+                            pltpu.VMEM((G, rq, n_head), jnp.float32)],
+        )(xp, *flat)
+        return out[:B, :1, :D]
     for start in range(0, len(main_layers), layers_per_call):
         group = main_layers[start:start + layers_per_call]
         flat = [op for lp_ in group for op in layer_operands(lp_)]

@@ -236,31 +236,40 @@ def fused_encoder_layer_xpack_kt_stack(
         ]
 
     N_OPS = 12
-    flat = [op for lp_ in layer_params_list for op in layer_operands(lp_)]
+    # VITIQ_KT_LPC: layers per pallas_call. Default = the whole stack in one
+    # call (weights VMEM-resident, no inter-layer HBM round-trips — the
+    # measured xpack win). Long stacks unroll n_layers * ceil(Lp/kt) packed
+    # key-block steps into one Mosaic program; if the remote-AOT compile
+    # window becomes the wall, lower this.
+    lpc = (int(os.environ.get("VITIQ_KT_LPC", "0"))
+           or len(layer_params_list))
+    for start in range(0, len(layer_params_list), lpc):
+        group = layer_params_list[start:start + lpc]
+        flat = [op for lp_ in group for op in layer_operands(lp_)]
 
-    def kernel(x_ref, *rest):
-        weight_refs = rest[:-3]
-        o_ref, kp_s, vp_s = rest[-3:]
+        def kernel(x_ref, *rest, n_layers=len(group)):
+            weight_refs = rest[:-3]
+            o_ref, kp_s, vp_s = rest[-3:]
 
-        @pl.when(pl.program_id(0) == 0)
-        def _zero():
-            kp_s[:] = jnp.zeros_like(kp_s)
-            vp_s[:] = jnp.zeros_like(vp_s)
+            @pl.when(pl.program_id(0) == 0)
+            def _zero():
+                kp_s[:] = jnp.zeros_like(kp_s)
+                vp_s[:] = jnp.zeros_like(vp_s)
 
-        for c in range(len(layer_params_list)):
-            src = x_ref if c == 0 else o_ref
-            _layer_kernel_kt(
-                src, *weight_refs[c * N_OPS:(c + 1) * N_OPS],
-                o_ref, kp_s, vp_s,
-                seq_len=seq_len, n_head=n_head, kt=kt)
+            for c in range(n_layers):
+                src = x_ref if c == 0 else o_ref
+                _layer_kernel_kt(
+                    src, *weight_refs[c * N_OPS:(c + 1) * N_OPS],
+                    o_ref, kp_s, vp_s,
+                    seq_len=seq_len, n_head=n_head, kt=kt)
 
-    out = _pallas_call(
-        kernel,
-        grid=(Bp // G,),
-        in_specs=[data_block] + [rep(o.shape) for o in flat],
-        out_specs=data_block,
-        out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
-        scratch_shapes=[pltpu.VMEM((G, n_head * kt, D), x.dtype),
-                        pltpu.VMEM((G, n_head * kt, D), x.dtype)],
-    )(xp, *flat)
-    return out[:B, :L, :]
+        xp = _pallas_call(
+            kernel,
+            grid=(Bp // G,),
+            in_specs=[data_block] + [rep(o.shape) for o in flat],
+            out_specs=data_block,
+            out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
+            scratch_shapes=[pltpu.VMEM((G, n_head * kt, D), x.dtype),
+                            pltpu.VMEM((G, n_head * kt, D), x.dtype)],
+        )(xp, *flat)
+    return xp[:B, :L, :]
