@@ -268,3 +268,23 @@ class TestUnderMesh:
                 x[i * 2:(i + 1) * 2], [params], 4, 0.3, 21))
             for i in range(8)])
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("attn", ["xpack", "auto"])
+def test_stack_env_dispatch(attn, monkeypatch):
+    """fused_train_layer_stack must route through the xpack train kernels
+    under VITIQ_TRAIN_ATTN={xpack,auto} (auto gates on VMEM fit) — the
+    env-only switch the TPU A/B rides. At drop=0 the two cores are
+    numerically identical."""
+    from vitiq.ops.pallas.fused_layer_train import fused_train_layer_stack
+
+    rng = np.random.default_rng(9)
+    params = L.encoder_layer_init(jax.random.PRNGKey(7), 128, 256)
+    x = jnp.asarray(rng.standard_normal((2, 17, 128)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        direct = np.asarray(
+            fused_train_layer_stack_xpack(x, [params], 4, 0.0, 7))
+        monkeypatch.setenv("VITIQ_TRAIN_ATTN", attn)
+        routed = np.asarray(
+            fused_train_layer_stack(x, [params], 4, 0.0, 7))
+    np.testing.assert_array_equal(routed, direct)

@@ -752,6 +752,26 @@ def fused_train_layer_stack(
     """
     B, L, D = x.shape
     seq_len = L if seq_len is None else seq_len
+    # VITIQ_TRAIN_ATTN: "xpack" routes through the cross-head packed train
+    # kernels (train_xpack.py: packed fwd + hybrid packed-recompute bwd,
+    # counter-based dropout); "auto" does so where both packed passes fit
+    # VMEM. Default stays the chained core until the TPU A/B is recorded
+    # (docs/ROADMAP.md lever #1). The dropout mask STREAM differs between
+    # cores (hash vs TPU PRNG) — both deterministic in `seed`.
+    _attn = os.environ.get("VITIQ_TRAIN_ATTN", "chain")
+    if _attn in ("xpack", "auto"):
+        from vitiq.ops.pallas.train_xpack import (
+            fused_train_layer_stack_xpack,
+            xpack_train_supported,
+        )
+
+        ffn_h = max(lp_["ffn"]["linear1"]["kernel"].shape[1]
+                    for lp_ in layer_params_list)
+        if _attn == "xpack" or xpack_train_supported(
+                L, D, ffn_h, n_head, x.dtype.itemsize):
+            return fused_train_layer_stack_xpack(
+                x, layer_params_list, n_head, drop_prob, seed,
+                seq_len=seq_len)
     seed = jnp.asarray(seed, jnp.int32)
     for i, lp_ in enumerate(layer_params_list):
         flat = _flat_weights(lp_, x.dtype)
