@@ -356,10 +356,12 @@ class ExperimentConfig:
         (docs/BENCHMARKS.md): 1.5x serving (161K vs 109K frames/s) and
         +28% training throughput vs the reference's H8 (d_head=16 on a
         128-lane MXU is the reference architecture's measured performance
-        ceiling). Accuracy: no regression detected on the synthetic-proxy
-        gate (head_variant_validation.json) — the gate's per-seed spread
-        overlaps H8's, so treat it as "no evidence of harm", not proof of
-        a gain; validate on the real 19-class task before deploying."""
+        ceiling). Accuracy (10-seed full-depth 19-class synthetic gate,
+        head_variant_validation.json): H4 +0.79 pts vs H8, paired t=1.81
+        — no regression, but the gain is within noise; H2 (n_head=2) is
+        the variant with a statistically significant gain on the proxy
+        (+1.73 pts, t=4.50) and the fastest measured serving. Validate on
+        the real 19-class task before deploying either."""
         cfg = cls.vit_reference()
         cfg = _apply_overrides(cfg, {"model.n_head": 4})
         return _apply_overrides(cfg, overrides)
