@@ -987,11 +987,13 @@ def _pick_batch_block_v3_xpack(Lp: int, D: int, H: int, n_head: int,
     score/prob tensors plus two [H*Lp, D] block-diagonal scratches replace
     the streamed 128-wide tiles, so G lands smaller than v3's. Returns 0
     when even G=1 cannot fit (long sequences) — caller falls back to the
-    chained core. Measured on the flagship (Lp=144, H8): G=4 (9.2 MB
-    estimate) compiles and wins (69.2 ms vs 75.3 chained); G=2 loses
-    (88.6 ms, M=288-row matmuls + 4x grid steps); G=8 (18 MB) fails to
-    compile within the AOT budget."""
-    for g in (8, 4, 2, 1):
+    chained core. Measured ladder on the flagship (Lp=144, H8, ~2.29 MB/G
+    estimate; scripts/round3b_tpu_runs.sh + the G=7 follow-up): G=2 loses
+    (88.6 ms, M=288-row matmuls + 4x grid steps); G=4 69.2→66.7 ms;
+    G=5 65.9; G=6 64.25; **G=7 62.09 ms (131.9K frames/s, the round-3
+    default)**; G=8 (18.3 MB) fails to compile within the AOT budget —
+    hence the 16.2 MB cap, which admits exactly G=7 on the flagship."""
+    for g in (8, 7, 6, 5, 4, 3, 2, 1):
         x_like = g * Lp * D
         vmem = (
             2 * 2 * x_like * itemsize              # in/out double-buffered
@@ -1004,7 +1006,7 @@ def _pick_batch_block_v3_xpack(Lp: int, D: int, H: int, n_head: int,
             + 2 * g * Lp * H * itemsize            # ffn hidden (+relu copy)
             + 2 * x_like * 4                       # f32 LN temps / residuals
         )
-        if vmem <= 10 * 1024 * 1024:
+        if vmem <= 16 * 1024 * 1024 + 200 * 1024:
             return g
     return 0
 
@@ -1114,14 +1116,19 @@ def fused_encoder_layer_v3_stack(
     # xpack core cannot fit VMEM even at G=1 — in practice the conv1d
     # long-sequence arm (1025 tokens) — the same block-diagonal GEMM chain
     # runs tiled over key blocks, turning ~72 serialized narrow per-head
-    # stages per layer into ceil(Lp/kt) packed steps. Auto engages it only
-    # in that G=0 regime; VITIQ_V3_ATTN=kt forces it anywhere it fits. The
-    # CLS-only tail recurses into this stack (single-layer CLS call).
-    _kt = (_attn_env in ("auto", "kt") and not xpack
+    # stages per layer into ceil(Lp/kt) packed steps. MEASURED ON CHIP
+    # (round 3b): perf-neutral on conv1d (4,429 frames/s @ 2048 vs the
+    # chained ~4.5K) AND numerically 7x looser than the chained core
+    # (max |dlogit| 0.086 vs 0.0124 at 1025 tokens, tpu_check_fused
+    # conv1d — fails the 0.05 gate; interpreter-mode parity passes, so the
+    # delta is chip-only and unexplained). Default therefore stays the
+    # chained core everywhere; VITIQ_V3_ATTN=kt forces this path for
+    # further kernel work. The CLS-only tail recurses into this stack
+    # (single-layer CLS call).
+    _kt = (_attn_env == "kt" and not xpack
            and not attn_int8 and head_group == 1 and not vpu_tail
            and pack == 1 and probe is None and epi == "div"
-           and len(layer_params_list) > (1 if cls_only else 0)
-           and (_attn_env == "kt" or Lp >= 96))
+           and len(layer_params_list) > (1 if cls_only else 0))
     if _kt:
         from vitiq.ops.pallas.serve_xpack_kt import (
             fused_encoder_layer_xpack_kt_stack, pick_kt)
