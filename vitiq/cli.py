@@ -153,6 +153,23 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    from vitiq.serve import export_from_experiment
+
+    out = export_from_experiment(
+        args.experiment_dir, args.output,
+        batch_sizes=[int(b) for b in args.batch_sizes.split(",")],
+        platforms=args.platforms.split(",") if args.platforms else None,
+        checkpoint=args.checkpoint,
+    )
+    manifest = json.loads((out / "manifest.json").read_text())
+    print(json.dumps({"artifact": str(out),
+                      "batch_sizes": manifest["batch_sizes"],
+                      "platforms": manifest["platforms"],
+                      "entries": manifest["entries"]}, indent=2))
+    return 0
+
+
 def cmd_compare(args) -> int:
     from vitiq.eval import ModelComparison
 
@@ -252,6 +269,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8", action="store_true",
                    help="Evaluate through the int8 W8A8 serving path")
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser(
+        "export",
+        help="Export an AOT-compiled serving artifact (jax.export) from a "
+             "trained experiment — deployable without model code")
+    p.add_argument("--experiment_dir", required=True,
+                   help="Training-run directory (config.json + "
+                        "normalization_stats.json + model_best.npz)")
+    p.add_argument("--output", required=True, help="Artifact directory to write")
+    p.add_argument("--batch_sizes", default="256,8192",
+                   help="Comma-separated fixed batch buckets to compile")
+    p.add_argument("--platforms", default=None,
+                   help="Comma-separated lowering targets (e.g. tpu or "
+                        "cpu,tpu); default: current backend")
+    p.add_argument("--checkpoint", default="model_best.npz",
+                   help="Weights file inside the experiment dir")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("compare", help="Compare two classification reports")
     p.add_argument("--vit_report", required=True)

@@ -178,6 +178,13 @@ class DataConfig:
         mods = self.target_modulations if self.source == "hdf5" else self.synthetic_classes
         return len(mods)
 
+    @property
+    def frame_len(self) -> int:
+        """Raw I/Q samples per frame as stored: the RadioML 2018.01A frame
+        is fixed at 1024 (ref: README.md:226-232); synthetic corpora use
+        synthetic_frame_len."""
+        return 1024 if self.source == "hdf5" else self.synthetic_frame_len
+
     def validate(self, check_paths: bool = True) -> None:
         errors = []
         if self.source not in ("synthetic", "hdf5"):
