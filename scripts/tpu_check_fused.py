@@ -2,12 +2,14 @@
 """On-TPU correctness spot-check: the fused-layer bf16 inference path vs the
 reference f32 path. Run on a TPU backend.
 
-Usage: python scripts/tpu_check_fused.py [vit|conv1d|rawiq] [batch]
+Usage: python scripts/tpu_check_fused.py [vit|conv1d|rawiq|seg64] [batch]
   vit     — flagship ViT d128/L6 (129 tokens), default
   conv1d  — rawIQ conv1d mode (1025 tokens, ref:
             transformer_rawIQ/models/encoder.py:34-41)
   rawiq   — rawIQ segment-16 (65 tokens, Lp=80 — exercises the
             batch-packed attention tile, VITIQ_V3_PACK auto)
+  seg64   — rawIQ segment-64 (17 tokens, Lp=32 — the small-Lp xpack
+            regime; set VITIQ_V3_ATTN=xpack [+ VITIQ_V3_G] to force)
 """
 import pathlib
 import sys
@@ -43,6 +45,14 @@ def main() -> int:
 
         cfg_tpu = flagship_rawiq_config("tpu")
         cfg_ref = flagship_rawiq_config("reference")
+        pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
+    elif which == "seg64":
+        # segment-64 tokenization (17 tokens, Lp=32) — the small-Lp xpack
+        # regime (VITIQ_V3_ATTN=xpack [+ VITIQ_V3_G] to exercise it)
+        from vitiq.bench import rawiq_seg64_config
+
+        cfg_tpu = rawiq_seg64_config("tpu")
+        cfg_ref = rawiq_seg64_config("reference")
         pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
     else:
         cfg_tpu = flagship_vit_config("tpu")
