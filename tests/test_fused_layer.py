@@ -453,3 +453,57 @@ def test_v3_int8_stack_close_to_float():
             x, [q1, q2], 8, cls_only=True))
     assert np.abs(got - ref).max() < 0.25  # int8 weight quant noise
     np.testing.assert_allclose(got_cls[:, 0], got[:, 0], atol=0.05)
+
+
+def test_xpack_picker_measured_geometries():
+    """The 16.2 MB picker budget encodes the round-3b/3c measured ladder:
+    flagship lands exactly on G=7 (G=8's 18.3 MB estimate failed to
+    compile; 62.09 ms @ 8192 = the headline default), head variants on
+    G=8 (H4 175.1K / H2 201.6K frames/s), conv1d returns 0 (falls back
+    to the chained core)."""
+    from vitiq.ops.pallas.fused_encoder_layer import _pick_batch_block_v3_xpack
+
+    assert _pick_batch_block_v3_xpack(144, 128, 512, 8, 2) == 7  # flagship
+    assert _pick_batch_block_v3_xpack(144, 128, 512, 4, 2) == 8  # H4
+    assert _pick_batch_block_v3_xpack(144, 128, 512, 2, 2) == 8  # H2
+    # small-Lp ladder (round 3d): seg-64 lands on G=16 (541.8K frames/s),
+    # seg-16 on G=8 (221.6K; its G=16 measured slower AND overflows)
+    assert _pick_batch_block_v3_xpack(32, 128, 1024, 8, 2) == 16  # seg-64
+    assert _pick_batch_block_v3_xpack(80, 128, 1024, 8, 2) == 8   # seg-16
+    assert _pick_batch_block_v3_xpack(1032, 128, 1024, 8, 2) == 0  # conv1d
+
+
+def test_auto_routes_xpack_over_pack_at_short_lp(monkeypatch):
+    """Round-3d default: auto engages the xpack core at EVERY Lp whose
+    VMEM picker finds a G (measured wins at Lp=144/80/32), preempting the
+    batch-packing rule that used to claim 64 < Lp <= 96; forcing
+    VITIQ_V3_PACK=2 restores the packed chained core. Both routes must
+    stay reference-exact."""
+    import vitiq.ops.pallas.fused_encoder_layer as F
+
+    calls = {"xpack": 0}
+    orig = F._v3_attention_core_xpack
+
+    def spy(*a, **k):
+        calls["xpack"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(F, "_v3_attention_core_xpack", spy)
+    monkeypatch.delenv("VITIQ_V3_ATTN", raising=False)
+    monkeypatch.delenv("VITIQ_V3_PACK", raising=False)
+    rng = np.random.default_rng(9)
+    p1 = L.encoder_layer_init(jax.random.PRNGKey(30), 128, 512)
+    x = jnp.asarray(rng.standard_normal((4, 65, 128)), jnp.float32)  # Lp=80
+    ref = np.asarray(L.encoder_layer_apply(p1, x, 8, 0.0, None, False,
+                                           policy=REFERENCE))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(F.fused_encoder_layer_v3_stack(x, [p1], 8))
+    assert calls["xpack"] > 0, "auto did not engage the xpack core at Lp=80"
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    calls["xpack"] = 0
+    monkeypatch.setenv("VITIQ_V3_PACK", "2")
+    with pltpu.force_tpu_interpret_mode():
+        got_packed = np.asarray(F.fused_encoder_layer_v3_stack(x, [p1], 8))
+    assert calls["xpack"] == 0, "forced pack must disable xpack"
+    np.testing.assert_allclose(got_packed, ref, atol=1e-4)

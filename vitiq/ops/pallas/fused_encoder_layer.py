@@ -992,8 +992,12 @@ def _pick_batch_block_v3_xpack(Lp: int, D: int, H: int, n_head: int,
     (88.6 ms, M=288-row matmuls + 4x grid steps); G=4 69.2→66.7 ms;
     G=5 65.9; G=6 64.25; **G=7 62.09 ms (131.9K frames/s, the round-3
     default)**; G=8 (18.3 MB) fails to compile within the AOT budget —
-    hence the 16.2 MB cap, which admits exactly G=7 on the flagship."""
-    for g in (8, 7, 6, 5, 4, 3, 2, 1):
+    hence the 16.2 MB cap, which admits exactly G=7 on the flagship.
+    Small-Lp ladder (round 3d, seg-64 Lp=32): G=4 324.9K < G=8 413.2K <
+    G=16 541.8K ~ G=32 548.0K (G=24 dips to 491.2K) — candidates include
+    16 so Lp=32 lands there; Lp=80's G=16 measured SLOWER than G=8
+    (206.3K vs 221.6K) and is excluded by the budget anyway (21.6 MB)."""
+    for g in (16, 8, 7, 6, 5, 4, 3, 2, 1):
         x_like = g * Lp * D
         vmem = (
             2 * 2 * x_like * itemsize              # in/out double-buffered
@@ -1080,31 +1084,29 @@ def fused_encoder_layer_v3_stack(
     # Lp=80 (169.4K vs 163.3K rawIQ) but LOSE at Lp=32 even with a perfect
     # 128-tile fill (seg-64: packed-P4 346K vs unpacked 373K) and at P=4
     # on Lp=80 (137K) — so auto packs pairs only in the measured win
-    # region 64 < Lp <= 96. -1 = auto, 0/1 = off, N = force P=N.
+    # region 64 < Lp <= 96, and (since round 3d) only when the xpack core
+    # is unavailable: xpack with pack=1 beats chained+pack2 at Lp=80
+    # (221.6K vs 175.4K). -1 = auto, 0/1 = off, N = force P=N (forcing
+    # N >= 2 disables xpack).
     pack = 1
     if not attn_int8 and head_group == 1 and not vpu_tail:
-        pack = int(os.environ.get("VITIQ_V3_PACK", "-1"))
-        if pack < 0:
-            pack = 2 if 64 < Lp <= 96 else 1
-        pack = max(1, pack)
+        pack = int(os.environ.get("VITIQ_V3_PACK", "-1"))  # -1 = auto
     # Attention-core selector (VITIQ_V3_ATTN): "xpack" (DEFAULT where
     # eligible) = cross-head packed block-diagonal core — one GEMM chain
     # instead of H serialized per-head chains (_v3_attention_core_xpack;
-    # measured +9% on the flagship, round-3 table in docs/BENCHMARKS.md);
-    # "chain" = the round-2 per-head streamed core. xpack is incompatible
-    # with the per-head probe / grouping / packing / int8 variants and the
-    # non-div epilogues, and falls back when its VMEM footprint cannot fit
-    # even at G=1 (long sequences).
+    # round-3 tables in docs/BENCHMARKS.md). MEASURED (rounds 3-3d) it
+    # beats the chained core at EVERY shape whose VMEM fits: flagship
+    # Lp=144 G=7 131.9K (chained 108.7K), seg-16 Lp=80 G=8 221.6K
+    # (chained+pack2 175.4K), seg-64 Lp=32 G=16 541.8K (chained 372.9K) —
+    # so auto-xpack preempts batch-packing wherever its picker finds a G;
+    # a user-forced VITIQ_V3_PACK >= 2 or VITIQ_V3_ATTN=chain restores the
+    # packed/chained cores. Incompatible with the per-head probe /
+    # grouping / int8 variants and the non-div epilogues; falls back when
+    # its VMEM footprint cannot fit even at G=1 (conv1d 1025 tokens).
     _attn_env = os.environ.get("VITIQ_V3_ATTN", "auto")
     xpack = (_attn_env in ("auto", "xpack")
              and not attn_int8 and head_group == 1 and not vpu_tail
-             and pack == 1 and probe is None and epi == "div"
-             # auto engages only in the measured-win regime (Lp>=96, i.e.
-             # the flagship family); short sequences (seg-64 Lp=32) keep the
-             # chained core — their xpack compile ran past the 10-min remote
-             # AOT window unresolved. VITIQ_V3_ATTN=xpack forces it anywhere.
-             and (_attn_env == "xpack" or Lp >= 96))
-    Lpk = Lp * pack
+             and pack in (-1, 1) and probe is None and epi == "div")
     ffn_h = max(lp_["ffn"]["linear1"]["kernel"].shape[1]
                 for lp_ in layer_params_list)
     if xpack:
@@ -1112,6 +1114,16 @@ def fused_encoder_layer_v3_stack(
             Lp, D, ffn_h, n_head, x.dtype.itemsize)
         if G == 0:
             xpack = False
+    if xpack:
+        pack = 1
+    else:
+        # batch-packing auto rule (chained core only): pairs win in
+        # 64 < Lp <= 96 (169.4K vs 163.3K rawIQ), lose at Lp=32 even with
+        # a perfect 128-tile fill and at P=4 on Lp=80 (137K)
+        if pack < 0:
+            pack = 2 if 64 < Lp <= 96 else 1
+        pack = max(1, pack)
+    Lpk = Lp * pack
     # KEY-TILED packed fallback (serve_xpack_kt.py): where the monolithic
     # xpack core cannot fit VMEM even at G=1 — in practice the conv1d
     # long-sequence arm (1025 tokens) — the same block-diagonal GEMM chain
