@@ -600,7 +600,13 @@ _WNAMES = ("wqkv", "bqkv", "wo", "bo", "g1", "be1",
 def _pick_g(Lp: int, D: int, H: int, itemsize: int) -> int:
     """One block size for BOTH passes: dropout masks are generated per grid
     block (seeded on program_id), so fwd and bwd must partition the batch
-    identically. Sized for the backward (recompute + grad temporaries)."""
+    identically. Sized for the backward (recompute + grad temporaries).
+    VITIQ_TRAIN_G overrides for on-chip ladder probes (the serving G
+    ladder was monotone-up to its compile wall; flagship train sits at
+    G=2 under this estimate)."""
+    g_env = int(os.environ.get("VITIQ_TRAIN_G", "0"))
+    if g_env:
+        return g_env
     t = min(128, Lp)
     mult = 3  # bwd holds recompute + grads
     for g in (16, 8, 4, 2, 1):
