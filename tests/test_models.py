@@ -148,12 +148,14 @@ class TestConfigValidation:
         assert cfg2.data == cfg.data
 
     def test_vit_tpu_production_preset(self):
-        """The TPU-recommended H4 preset: reference ViT in every respect
-        except n_head=4 (d_head=32), and forward-compatible."""
+        """The TPU-recommended H2 preset (d_head=64 — the measured 1.53x
+        serving+training variant with the statistically-significant
+        accuracy gate): reference ViT in every respect except n_head,
+        and forward-compatible."""
         from vitiq.config import ExperimentConfig
         ref = ExperimentConfig.vit_reference()
         tpu = ExperimentConfig.vit_tpu_production()
-        assert tpu.model.n_head == 4
+        assert tpu.model.n_head == 2
         assert tpu.model.d_model == ref.model.d_model
         assert tpu.model.n_layers == ref.model.n_layers
         tpu.model.validate()

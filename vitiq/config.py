@@ -359,18 +359,19 @@ class ExperimentConfig:
     @classmethod
     def vit_tpu_production(cls, **overrides) -> "ExperimentConfig":
         """The TPU-recommended serving/training architecture: the reference
-        ViT config with n_head=4 (d_head=32). Measured on v5e
-        (docs/BENCHMARKS.md): 1.5x serving (161K vs 109K frames/s) and
-        +28% training throughput vs the reference's H8 (d_head=16 on a
+        ViT config with n_head=2 (d_head=64). Measured on v5e
+        (docs/BENCHMARKS.md): 1.53x serving (201.6K vs 131.9K frames/s @
+        8192 through the xpack core) AND 1.53x training (101.9 vs 156 ms
+        @ 2048 = 20.1K frames/s) vs the reference's H8 — d_head=16 on a
         128-lane MXU is the reference architecture's measured performance
-        ceiling). Accuracy (10-seed full-depth 19-class synthetic gate,
-        head_variant_validation.json): H4 +0.79 pts vs H8, paired t=1.81
-        — no regression, but the gain is within noise; H2 (n_head=2) is
-        the variant with a statistically significant gain on the proxy
-        (+1.73 pts, t=4.50) and the fastest measured serving. Validate on
-        the real 19-class task before deploying either."""
+        ceiling, and d_head=64 fills the contraction. Accuracy (10-seed
+        full-depth 19-class synthetic gate, head_variant_validation.json):
+        H2 +1.73 pts vs H8, paired t=4.50 — the only head variant with a
+        statistically significant gain on the proxy (H4: +0.79, within
+        noise; use n_head=4 as a middle ground, 175.1K/17.4K). Validate
+        on the real 19-class task before deploying."""
         cfg = cls.vit_reference()
-        cfg = _apply_overrides(cfg, {"model.n_head": 4})
+        cfg = _apply_overrides(cfg, {"model.n_head": 2})
         return _apply_overrides(cfg, overrides)
 
     @classmethod
