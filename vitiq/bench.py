@@ -494,11 +494,16 @@ def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = N
         return bench_fused_infer("vit", batch_size, steps,
                                  data_parallel=data_parallel)
     if which == "rawiq_infer":
-        return bench_fused_infer("rawiq", batch_size, steps)
+        return bench_fused_infer("rawiq", batch_size, steps, n_head=n_head)
     if which == "rawiq64_infer":
-        return bench_fused_infer("rawiq_seg64", batch_size, steps)
+        return bench_fused_infer("rawiq_seg64", batch_size, steps, n_head=n_head)
     if which == "conv1d_infer":
-        return bench_fused_infer("rawiq_conv1d", batch_size, steps)
+        # n_head matters most here: the round-3f attribution showed the
+        # 1025-token kernel is MXU-pass-bound with score passes scaling
+        # linearly in H (each head costs M x Lp lane-rows regardless of
+        # d_head), so H2/H4 variants directly cut the dominant term.
+        return bench_fused_infer("rawiq_conv1d", batch_size, steps,
+                                 n_head=n_head)
     if which == "int8_infer":
         return bench_int8_infer("vit", batch_size, steps)
     if which == "train_step":
