@@ -2,7 +2,7 @@
 """On-TPU correctness spot-check: the fused-layer bf16 inference path vs the
 reference f32 path. Run on a TPU backend.
 
-Usage: python scripts/tpu_check_fused.py [vit|conv1d|rawiq|seg64] [batch]
+Usage: python scripts/tpu_check_fused.py [vit|conv1d|rawiq|seg64] [batch] [n_head]
   vit     — flagship ViT d128/L6 (129 tokens), default
   conv1d  — rawIQ conv1d mode (1025 tokens, ref:
             transformer_rawIQ/models/encoder.py:34-41)
@@ -58,6 +58,12 @@ def main() -> int:
         cfg_tpu = flagship_vit_config("tpu")
         cfg_ref = flagship_vit_config("reference")
         pre = lambda x: preprocess_batch_vit(x, FLAGSHIP_STATS)
+    if len(sys.argv) > 3:  # head variant (d_head = d_model / n_head)
+        from dataclasses import replace
+
+        nh = int(sys.argv[3])
+        cfg_tpu, cfg_ref = replace(cfg_tpu, n_head=nh), replace(cfg_ref, n_head=nh)
+        which = f"{which}_h{nh}"
     params = init_amc_params(jax.random.PRNGKey(0), cfg_tpu)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((B, 1024, 2)), jnp.float32)
 
