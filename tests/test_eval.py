@@ -205,3 +205,15 @@ def test_bench_fused_infer_sharded_runs():
     r = run_benchmarks("fused_vit_infer", batch_size=64, steps=3,
                        data_parallel=8)
     assert r["value"] > 0 and r["batch_size"] == 64
+
+
+def test_bench_n_head_reaches_all_arms():
+    """The d_head lever is measurable on every arm (round-3f: it moves the
+    1025-token conv1d arm most — 2.78x); n_head must reach the rawiq
+    entries, not just head_variant."""
+    from vitiq.bench import run_benchmarks
+
+    r = run_benchmarks("conv1d_infer", batch_size=4, steps=1, n_head=2)
+    assert r["metric"].endswith("rawiq_conv1d_h2") and r["value"] > 0
+    r = run_benchmarks("rawiq64_infer", batch_size=4, steps=1, n_head=4)
+    assert r["metric"].endswith("rawiq_seg64_h4") and r["value"] > 0

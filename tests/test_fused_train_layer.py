@@ -181,3 +181,81 @@ def test_gradients_accumulate_across_grid_blocks():
                     jax.tree_util.tree_leaves(ref_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-3)
+
+
+class TestLongSequenceEligibility:
+    """Round-3f regression: conv1d training (1025 tokens) must NOT route to
+    the fused train kernels — their backward's scoped-VMEM stack measured
+    65.25 MB vs the 16 MB limit on chip (hard compile error). The encoder
+    gates on fused_train_supported and takes the XLA train path instead."""
+
+    def test_supported_predicate(self):
+        from vitiq.ops.pallas.fused_layer_train import fused_train_supported
+
+        assert fused_train_supported(129, 128, 512)    # flagship ViT
+        assert fused_train_supported(65, 128, 1024)    # rawIQ seg-16
+        assert not fused_train_supported(1025, 128, 1024)  # conv1d
+
+    def test_conv1d_train_routes_to_xla(self, monkeypatch):
+        """With the fused family forced on, a conv1d TRAIN forward must not
+        touch fused_train_layer_stack (the flagship control proves the
+        monkeypatch tripwire works)."""
+        from vitiq import models as M
+        from vitiq.config import ModelConfig
+        from vitiq.models import encoder as enc
+        import vitiq.ops.pallas.fused_layer_train as flt
+
+        def boom(*a, **k):
+            raise AssertionError("fused train stack reached at 1025 tokens")
+
+        monkeypatch.setenv("VITIQ_FUSED_FORCE", "1")
+        monkeypatch.setattr(flt, "fused_train_layer_stack", boom)
+
+        cfg = ModelConfig(arm="rawiq", num_classes=3, d_model=128, n_head=8,
+                          n_layers=1, ffn_hidden=1024, drop_prob=0.1,
+                          embedding_type="conv1d", seq_length=1024,
+                          numerics="tpu")
+        params = M.init_amc_params(jax.random.PRNGKey(0), cfg)
+        fwd = M.make_forward(cfg)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2, 2, 1024)), jnp.float32)
+        out = fwd(params, x, train=True, rng=jax.random.PRNGKey(1))
+        assert out.shape == (2, 3)
+
+        # control: the flagship (129 tokens) DOES reach the fused stack
+        vit = ModelConfig(arm="vit", num_classes=3, d_model=128, n_head=8,
+                          n_layers=1, ffn_hidden=512, drop_prob=0.1,
+                          patch_size=4, numerics="tpu")
+        vparams = M.init_amc_params(jax.random.PRNGKey(0), vit)
+        vx = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2, 1, 32, 64)), jnp.float32)
+        with pytest.raises(Exception, match="fused train stack reached"):
+            M.make_forward(vit)(vparams, vx, train=True,
+                                rng=jax.random.PRNGKey(1))
+
+    def test_remat_training_grads_identical(self, monkeypatch):
+        """jax.checkpoint on the fallback layer loop (long-sequence training)
+        must be semantics-preserving: grads with VITIQ_TRAIN_REMAT=1 match
+        the un-remat'd path exactly."""
+        from vitiq import models as M
+        from vitiq.config import ModelConfig
+
+        cfg = ModelConfig(arm="rawiq", num_classes=3, d_model=32, n_head=4,
+                          n_layers=2, ffn_hidden=64, drop_prob=0.0,
+                          embedding_type="segment", segment_size=16,
+                          seq_length=64, numerics="reference")
+        params = M.init_amc_params(jax.random.PRNGKey(0), cfg)
+        fwd = M.make_forward(cfg)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (4, 2, 64)), jnp.float32)
+
+        def loss(p, remat):
+            monkeypatch.setenv("VITIQ_TRAIN_REMAT", remat)
+            return jnp.sum(fwd(p, x, train=True,
+                               rng=jax.random.PRNGKey(1)) ** 2)
+
+        g0 = jax.grad(lambda p: loss(p, "0"))(params)
+        g1 = jax.grad(lambda p: loss(p, "1"))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

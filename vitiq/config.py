@@ -362,7 +362,8 @@ class ExperimentConfig:
         ViT config with n_head=2 (d_head=64). Measured on v5e
         (docs/BENCHMARKS.md): 1.53x serving (201.6K vs 131.9K frames/s @
         8192 through the xpack core) AND 1.53x training (101.9 vs 156 ms
-        @ 2048 = 20.1K frames/s) vs the reference's H8 — d_head=16 on a
+        @ 2048 = 20.1K frames/s; 27.6K @ 8192 = 1.67x) vs the reference's
+        H8, and 2.78x on 1025-token conv1d serving — d_head=16 on a
         128-lane MXU is the reference architecture's measured performance
         ceiling, and d_head=64 fills the contraction. Accuracy (10-seed
         full-depth 19-class synthetic gate, head_variant_validation.json):

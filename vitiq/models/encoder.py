@@ -26,6 +26,12 @@ from vitiq.ops.attention import scaled_dot_product_attention
 from vitiq.ops.numerics import Policy
 
 
+def _fused_train_supported(L: int, D: int, ffn_hidden: int) -> bool:
+    from vitiq.ops.pallas.fused_layer_train import fused_train_supported
+
+    return fused_train_supported(L, D, ffn_hidden)
+
+
 def encoder_init(rng, cfg: ModelConfig):
     rngs = jax.random.split(rng, cfg.n_layers + 2)
     if cfg.arm == "vit":
@@ -152,6 +158,11 @@ def encoder_apply(
         # validated on hardware by scripts/tpu_check_train.py: global grad
         # cosine 0.99999 vs XLA autodiff, dropout deterministic/seed-
         # sensitive, fwd/bwd mask consistency via coordinate FD
+        # Long sequences (conv1d, 1025 tokens) are ineligible: the train
+        # backward's scoped-VMEM stack exceeds the 16 MB limit even at G=1
+        # (measured 65.25 MB at Lp=1040) — the XLA train path below owns
+        # those shapes.
+        and _fused_train_supported(x.shape[1], cfg.d_model, cfg.ffn_hidden)
     ):
         from vitiq.ops.pallas.fused_layer_train import fused_train_layer_stack
 
@@ -225,6 +236,28 @@ def encoder_apply(
                 cls_only=cls_only_fused
                 and os.environ.get("VITIQ_CLS_ONLY", "1") != "0"),
             policy.cast_compute(x), params["layers"])
+
+    # Long-sequence training off the fused path rematerializes each layer
+    # (jax.checkpoint): XLA otherwise keeps every layer's [B, L, D]
+    # intermediates live for the backward — measured 20.01 GB HBM for
+    # conv1d (1025 tokens) at train batch 256 against the 15.75 GB chip.
+    # Remat recomputes the layer forward during the backward instead (the
+    # fused train kernels make the same trade in-kernel). VITIQ_TRAIN_REMAT:
+    # auto (default, sequences > 512 tokens only), 1 (always), 0 (never).
+    remat_env = os.environ.get("VITIQ_TRAIN_REMAT", "auto")
+    use_remat = train and (
+        remat_env == "1" or (remat_env == "auto" and x.shape[1] > 512))
+    if use_remat:
+        def _layer(layer_params, xx, layer_rng):
+            return encoder_layer_apply(
+                layer_params, xx, cfg.n_head, cfg.drop_prob, layer_rng, train,
+                mask=mask, policy=policy, attention_fn=attention_fn,
+            )
+
+        _layer = jax.checkpoint(_layer)
+        for layer_params, layer_rng in zip(params["layers"], layer_rngs):
+            x = _layer(layer_params, x, layer_rng)
+        return x
 
     for layer_params, layer_rng in zip(params["layers"], layer_rngs):
         x = encoder_layer_apply(

@@ -35,6 +35,7 @@ parity preset never routes through Pallas.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -184,12 +185,40 @@ def _bwd(n_head, residuals, g):
     # rejects the cotangent.
     q, k, v = residuals
     policy = TPU if q.dtype == jnp.bfloat16 else REFERENCE
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _xla_packed_attention(q_, k_, v_, n_head, policy)
-        .astype(q.dtype),
-        q, k, v,
-    )
-    return vjp(g)
+    B, L, D = q.shape
+
+    def one(args):
+        qc, kc, vc, gc = args
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _xla_packed_attention(q_, k_, v_, n_head,
+                                                     policy).astype(q.dtype),
+            qc, kc, vc,
+        )
+        return vjp(gc)
+
+    # The XLA recompute materializes ~7 bytes/score-element ([B,H,L,L] f32
+    # scores + bf16 probs + a pred mask); at conv1d length (1025 tokens,
+    # train batch 256) that measured 16.9 GB against the 15.75 GB chip.
+    # Tile the batch with lax.map so only one chunk's score tensors are
+    # live at a time — semantics-identical, and a no-op for every shape
+    # whose full recompute fits the budget (flagship 129 tokens: 238 MB).
+    per_frame = n_head * L * L * 7
+    budget = int(os.environ.get("VITIQ_ATTN_BWD_BUDGET",
+                                str(2 * 1024 ** 3)))
+    chunk = max(1, min(B, budget // max(per_frame, 1)))
+    if chunk >= B:
+        return one((q, k, v, g))
+    nb = -(-B // chunk)
+    pad = nb * chunk - B
+
+    def tile(t):
+        tp = jnp.pad(t, ((0, pad), (0, 0), (0, 0))) if pad else t
+        return tp.reshape(nb, chunk, L, D)
+
+    dq, dk, dv = jax.lax.map(
+        one, (tile(q), tile(k), tile(v), tile(g.astype(q.dtype))))
+    untile = lambda t: t.reshape(nb * chunk, L, D)[:B]
+    return untile(dq), untile(dk), untile(dv)
 
 
 _fused_attention_tpu.defvjp(_fwd, _bwd)

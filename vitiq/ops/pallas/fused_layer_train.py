@@ -623,6 +623,32 @@ def _pick_g(Lp: int, D: int, H: int, itemsize: int) -> int:
     return 1
 
 
+def fused_train_supported(L: int, D: int, ffn_hidden: int,
+                          itemsize: int = 2) -> bool:
+    """Can the fused train kernels hold this token length at all?
+
+    The backward keeps recompute + weight-grad accumulators sized in Lp even
+    at G=1; at conv1d length (1025 tokens, Lp=1040) the scoped-VMEM stack
+    measured 65.25 MB against the chip's 16.00 MB limit — a hard compile
+    error, not a perf cliff. Evaluate the same estimate `_pick_g` budgets
+    with at G=1: if even that exceeds the planning budget, the caller must
+    take the XLA train path (which tiles attention through HBM and handles
+    long sequences, just slower). Flagship Lp=144 passes with 3.5 MB.
+    """
+    sublane = 16 if itemsize == 2 else 8
+    Lp = _round_up(L, sublane)
+    t = min(128, Lp)
+    x_like = Lp * D
+    vmem = 3 * (
+        4 * x_like * itemsize
+        + 3 * x_like * itemsize
+        + Lp * t * (4 + itemsize)
+        + 2 * Lp * ffn_hidden * itemsize
+        + 3 * x_like * 4
+    )
+    return vmem <= 10 * 1024 * 1024
+
+
 def _flat_weights(layer_params, dtype):
     ap = layer_params["attention"]
     wqkv = jnp.concatenate([ap["w_q"]["kernel"], ap["w_k"]["kernel"],
