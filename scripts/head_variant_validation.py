@@ -50,17 +50,22 @@ def main() -> int:
     # ledger, and a restart skips runs already recorded — a hung remote
     # compile (observed: one 25-min stall) costs one retry, not the batch.
     ledger = pathlib.Path("head_variant_runs.jsonl")
+    # Resume key includes the training regime so a rerun with different
+    # epochs/frames does not silently reuse results from an incompatible
+    # configuration. Records predating the regime fields (the 10-seed
+    # round-3 campaign, run at the 30/512 defaults) carry those defaults.
     done = {}
     if ledger.exists():
         for line in ledger.read_text().splitlines():
             rec = json.loads(line)
-            done[(rec["n_head"], rec["seed"])] = rec
+            done[(rec["n_head"], rec["seed"], rec.get("epochs", 30),
+                  rec.get("frames_per_class", 512))] = rec
 
     results = {}
     for n_head in (8, 4, 2):
         accs, vlosses = [], []
         for seed in seeds:
-            rec = done.get((n_head, seed))
+            rec = done.get((n_head, seed, epochs, frames_per_class))
             if rec is None:
                 cfg = ExperimentConfig(
                     model=ModelConfig(arm="vit", num_classes=len(classes),
@@ -80,7 +85,8 @@ def main() -> int:
                     log_dir="/tmp/head_variant/logs",
                 )
                 summary = run_training(cfg, verbose=False)
-                rec = {"n_head": n_head, "seed": seed,
+                rec = {"n_head": n_head, "seed": seed, "epochs": epochs,
+                       "frames_per_class": frames_per_class,
                        "test_overall_accuracy": summary["test_overall_accuracy"],
                        "best_val_loss": summary["best_val_loss"],
                        "epochs_run": summary["epochs_run"]}

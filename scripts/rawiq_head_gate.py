@@ -52,17 +52,25 @@ def main() -> int:
 
     classes = TARGET_MODULATIONS_19
     ledger = pathlib.Path("rawiq_head_runs.jsonl")
+    # Resume key includes the regime so a rerun with a different embedding/
+    # epochs/frames/segment_size does not silently reuse results from an
+    # incompatible configuration. Records predating the regime fields (the
+    # round-3 conv1d campaign, 30 epochs / 512 frames, segment_size
+    # irrelevant for conv1d) carry those defaults.
     done = {}
     if ledger.exists():
         for line in ledger.read_text().splitlines():
             rec = json.loads(line)
-            done[(rec["n_head"], rec["seed"])] = rec
+            done[(rec["n_head"], rec["seed"], rec["embedding"],
+                  rec.get("epochs", 30), rec.get("frames_per_class", 512),
+                  rec.get("segment_size", 16))] = rec
 
     results = {}
     for n_head in (8, 4, 2):
         accs, vlosses = [], []
         for seed in seeds:
-            rec = done.get((n_head, seed))
+            rec = done.get((n_head, seed, embedding, epochs,
+                            frames_per_class, segment_size))
             if rec is None:
                 model = ModelConfig(
                     arm="rawiq", num_classes=len(classes), d_model=128,
@@ -85,7 +93,9 @@ def main() -> int:
                 )
                 summary = run_training(cfg, verbose=False)
                 rec = {"n_head": n_head, "seed": seed,
-                       "embedding": embedding,
+                       "embedding": embedding, "epochs": epochs,
+                       "frames_per_class": frames_per_class,
+                       "segment_size": segment_size,
                        "test_overall_accuracy": summary["test_overall_accuracy"],
                        "best_val_loss": summary["best_val_loss"],
                        "epochs_run": summary["epochs_run"]}

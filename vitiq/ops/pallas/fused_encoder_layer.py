@@ -1018,6 +1018,38 @@ def _pick_batch_block_v3_xpack(Lp: int, D: int, H: int, n_head: int,
 _LOG2E = 1.4426950408889634
 
 
+def xpack_layer_operands(lp_, dtype, scale):
+    """The 12 per-layer operands of the xpack kernels (v3 stack AND the
+    key-tiled fallback in serve_xpack_kt.py — numerics-critical, keep one
+    copy). Folds softmax scale * log2(e) into the q projection (constants,
+    folded by XLA at trace time) so the kernel needs no per-score multiply,
+    just exp2."""
+    ap = lp_["attention"]
+    wqkv = jnp.concatenate([
+        ap["w_q"]["kernel"].astype(jnp.float32) * scale,
+        ap["w_k"]["kernel"].astype(jnp.float32),
+        ap["w_v"]["kernel"].astype(jnp.float32),
+    ], axis=1).astype(dtype)
+    bqkv = jnp.concatenate([
+        ap["w_q"]["bias"].astype(jnp.float32) * scale,
+        ap["w_k"]["bias"].astype(jnp.float32),
+        ap["w_v"]["bias"].astype(jnp.float32),
+    ]).astype(jnp.float32)
+    return [
+        wqkv, bqkv,
+        ap["w_concat"]["kernel"].astype(dtype),
+        ap["w_concat"]["bias"].astype(jnp.float32),
+        lp_["norm1"]["gamma"].astype(jnp.float32),
+        lp_["norm1"]["beta"].astype(jnp.float32),
+        lp_["ffn"]["linear1"]["kernel"].astype(dtype),
+        lp_["ffn"]["linear1"]["bias"].astype(jnp.float32),
+        lp_["ffn"]["linear2"]["kernel"].astype(dtype),
+        lp_["ffn"]["linear2"]["bias"].astype(jnp.float32),
+        lp_["norm2"]["gamma"].astype(jnp.float32),
+        lp_["norm2"]["beta"].astype(jnp.float32),
+    ]
+
+
 def fused_encoder_layer_v3_stack(
     x: jnp.ndarray,
     layer_params_list,
@@ -1106,7 +1138,7 @@ def fused_encoder_layer_v3_stack(
     _attn_env = os.environ.get("VITIQ_V3_ATTN", "auto")
     xpack = (_attn_env in ("auto", "xpack")
              and not attn_int8 and head_group == 1 and not vpu_tail
-             and pack in (-1, 1) and probe is None and epi == "div")
+             and pack in (-1, 0, 1) and probe is None and epi == "div")
     ffn_h = max(lp_["ffn"]["linear1"]["kernel"].shape[1]
                 for lp_ in layer_params_list)
     if xpack:
@@ -1143,18 +1175,17 @@ def fused_encoder_layer_v3_stack(
            and len(layer_params_list) > (1 if cls_only else 0))
     if _kt:
         from vitiq.ops.pallas.serve_xpack_kt import (
-            fused_encoder_layer_xpack_kt_stack, pick_kt)
-        g_kt = (int(os.environ.get("VITIQ_KT_G", "0"))
-                or pick_kt(Lp, D, ffn_h, n_head, x.dtype.itemsize)[0])
-        if g_kt or _attn_env == "kt":
-            full = layer_params_list[:-1] if cls_only else layer_params_list
-            y = fused_encoder_layer_xpack_kt_stack(x, full, n_head,
-                                                   seq_len=seq_len)
-            if not cls_only:
-                return y
-            return fused_encoder_layer_v3_stack(
-                y, layer_params_list[-1:], n_head, seq_len=seq_len,
-                g_override=g_override, cls_only=True)
+            fused_encoder_layer_xpack_kt_stack)
+        # The stack runs its own pick_kt (and raises if nothing fits);
+        # VITIQ_KT_G is consumed there too.
+        full = layer_params_list[:-1] if cls_only else layer_params_list
+        y = fused_encoder_layer_xpack_kt_stack(x, full, n_head,
+                                               seq_len=seq_len)
+        if not cls_only:
+            return y
+        return fused_encoder_layer_v3_stack(
+            y, layer_params_list[-1:], n_head, seq_len=seq_len,
+            g_override=g_override, cls_only=True)
     if not xpack:
         G = g_override or _pick_batch_block_v3(Lpk, D, ffn_h,
                                                x.dtype.itemsize)
@@ -1192,33 +1223,7 @@ def fused_encoder_layer_v3_stack(
     scale = _LOG2E / ((D // n_head) ** 0.5)
 
     def layer_operands(lp_):
-        ap = lp_["attention"]
-        # fold softmax scale * log2(e) into the q projection (constants,
-        # folded by XLA at trace time) — the kernel then needs no per-score
-        # multiply at all, just exp2
-        wqkv = jnp.concatenate([
-            ap["w_q"]["kernel"].astype(jnp.float32) * scale,
-            ap["w_k"]["kernel"].astype(jnp.float32),
-            ap["w_v"]["kernel"].astype(jnp.float32),
-        ], axis=1).astype(x.dtype)
-        bqkv = jnp.concatenate([
-            ap["w_q"]["bias"].astype(jnp.float32) * scale,
-            ap["w_k"]["bias"].astype(jnp.float32),
-            ap["w_v"]["bias"].astype(jnp.float32),
-        ]).astype(jnp.float32)
-        return [
-            wqkv, bqkv,
-            ap["w_concat"]["kernel"].astype(x.dtype),
-            ap["w_concat"]["bias"].astype(jnp.float32),
-            lp_["norm1"]["gamma"].astype(jnp.float32),
-            lp_["norm1"]["beta"].astype(jnp.float32),
-            lp_["ffn"]["linear1"]["kernel"].astype(x.dtype),
-            lp_["ffn"]["linear1"]["bias"].astype(jnp.float32),
-            lp_["ffn"]["linear2"]["kernel"].astype(x.dtype),
-            lp_["ffn"]["linear2"]["bias"].astype(jnp.float32),
-            lp_["norm2"]["gamma"].astype(jnp.float32),
-            lp_["norm2"]["beta"].astype(jnp.float32),
-        ]
+        return xpack_layer_operands(lp_, x.dtype, scale)
 
     N_OPS = 12
     if xpack and fusecls:

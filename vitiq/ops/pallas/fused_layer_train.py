@@ -597,6 +597,28 @@ _WNAMES = ("wqkv", "bqkv", "wo", "bo", "g1", "be1",
            "w1", "b1", "w2", "b2", "g2", "be2")
 
 
+_TRAIN_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _train_vmem_estimate(g: int, Lp: int, D: int, H: int,
+                         itemsize: int) -> int:
+    """Scoped-VMEM planning estimate for the fused train kernels at batch
+    block g, sized for the BACKWARD (the 3x multiplier: recompute + grad
+    temporaries). The ONE formula shared by the block picker (_pick_g) and
+    the eligibility gate (fused_train_supported) — keep them in lockstep or
+    the encoder can admit a geometry whose backward hard-fails the 16 MB
+    scoped-VMEM compile on chip."""
+    t = min(128, Lp)
+    x_like = g * Lp * D
+    return 3 * (
+        4 * x_like * itemsize
+        + 3 * x_like * itemsize
+        + g * Lp * t * (4 + itemsize)
+        + 2 * g * Lp * H * itemsize
+        + 3 * x_like * 4
+    )
+
+
 def _pick_g(Lp: int, D: int, H: int, itemsize: int) -> int:
     """One block size for BOTH passes: dropout masks are generated per grid
     block (seeded on program_id), so fwd and bwd must partition the batch
@@ -607,18 +629,8 @@ def _pick_g(Lp: int, D: int, H: int, itemsize: int) -> int:
     g_env = int(os.environ.get("VITIQ_TRAIN_G", "0"))
     if g_env:
         return g_env
-    t = min(128, Lp)
-    mult = 3  # bwd holds recompute + grads
     for g in (16, 8, 4, 2, 1):
-        x_like = g * Lp * D
-        vmem = mult * (
-            4 * x_like * itemsize
-            + 3 * x_like * itemsize
-            + g * Lp * t * (4 + itemsize)
-            + 2 * g * Lp * H * itemsize
-            + 3 * x_like * 4
-        )
-        if vmem <= 10 * 1024 * 1024:
+        if _train_vmem_estimate(g, Lp, D, H, itemsize) <= _TRAIN_VMEM_BUDGET:
             return g
     return 1
 
@@ -630,23 +642,15 @@ def fused_train_supported(L: int, D: int, ffn_hidden: int,
     The backward keeps recompute + weight-grad accumulators sized in Lp even
     at G=1; at conv1d length (1025 tokens, Lp=1040) the scoped-VMEM stack
     measured 65.25 MB against the chip's 16.00 MB limit — a hard compile
-    error, not a perf cliff. Evaluate the same estimate `_pick_g` budgets
-    with at G=1: if even that exceeds the planning budget, the caller must
-    take the XLA train path (which tiles attention through HBM and handles
-    long sequences, just slower). Flagship Lp=144 passes with 3.5 MB.
+    error, not a perf cliff. Evaluates _pick_g's estimate at G=1: if even
+    that exceeds the planning budget, the caller must take the XLA train
+    path (which tiles attention through HBM and handles long sequences,
+    just slower). Flagship Lp=144 passes with 3.5 MB.
     """
     sublane = 16 if itemsize == 2 else 8
     Lp = _round_up(L, sublane)
-    t = min(128, Lp)
-    x_like = Lp * D
-    vmem = 3 * (
-        4 * x_like * itemsize
-        + 3 * x_like * itemsize
-        + Lp * t * (4 + itemsize)
-        + 2 * Lp * ffn_hidden * itemsize
-        + 3 * x_like * 4
-    )
-    return vmem <= 10 * 1024 * 1024
+    return (_train_vmem_estimate(1, Lp, D, ffn_hidden, itemsize)
+            <= _TRAIN_VMEM_BUDGET)
 
 
 def _flat_weights(layer_params, dtype):

@@ -40,7 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vitiq.ops.pallas._common import pallas_call as _pallas_call
-from vitiq.ops.pallas.fused_encoder_layer import _den_expand, _layer_norm
+from vitiq.ops.pallas.fused_encoder_layer import (_den_expand, _layer_norm,
+                                                  xpack_layer_operands)
 
 _LOG2E = 1.4426950408889634
 
@@ -210,30 +211,7 @@ def fused_encoder_layer_xpack_kt_stack(
     scale = _LOG2E / ((D // n_head) ** 0.5)
 
     def layer_operands(lp_):
-        ap = lp_["attention"]
-        wqkv = jnp.concatenate([
-            ap["w_q"]["kernel"].astype(jnp.float32) * scale,
-            ap["w_k"]["kernel"].astype(jnp.float32),
-            ap["w_v"]["kernel"].astype(jnp.float32),
-        ], axis=1).astype(x.dtype)
-        bqkv = jnp.concatenate([
-            ap["w_q"]["bias"].astype(jnp.float32) * scale,
-            ap["w_k"]["bias"].astype(jnp.float32),
-            ap["w_v"]["bias"].astype(jnp.float32),
-        ]).astype(jnp.float32)
-        return [
-            wqkv, bqkv,
-            ap["w_concat"]["kernel"].astype(x.dtype),
-            ap["w_concat"]["bias"].astype(jnp.float32),
-            lp_["norm1"]["gamma"].astype(jnp.float32),
-            lp_["norm1"]["beta"].astype(jnp.float32),
-            lp_["ffn"]["linear1"]["kernel"].astype(x.dtype),
-            lp_["ffn"]["linear1"]["bias"].astype(jnp.float32),
-            lp_["ffn"]["linear2"]["kernel"].astype(x.dtype),
-            lp_["ffn"]["linear2"]["bias"].astype(jnp.float32),
-            lp_["norm2"]["gamma"].astype(jnp.float32),
-            lp_["norm2"]["beta"].astype(jnp.float32),
-        ]
+        return xpack_layer_operands(lp_, x.dtype, scale)
 
     N_OPS = 12
     # VITIQ_KT_LPC: layers per pallas_call. Default = the whole stack in one

@@ -187,8 +187,14 @@ def export_from_experiment(
     cfg = ExperimentConfig.from_json(str(exp / "config.json"))
     stats = json.loads((exp / "normalization_stats.json").read_text())
     ckpt = exp / checkpoint
-    if not ckpt.exists():  # fall back to the final weights (ViT-arm drift
-        ckpt = exp / "model_final.npz"  # in the reference; we prefer best)
+    if not ckpt.exists():
+        if checkpoint != "model_best.npz":
+            # only the DEFAULT falls back — an explicitly requested
+            # checkpoint that is missing must not silently export other
+            # weights
+            raise FileNotFoundError(f"checkpoint not found: {ckpt}")
+        ckpt = exp / "model_final.npz"  # best absent (e.g. interrupted
+        # run): fall back to the final weights
     template = init_amc_params(jax.random.PRNGKey(0), cfg.model)
     params = load_params(ckpt, template)
     return export_serving(cfg, params, stats, path,
