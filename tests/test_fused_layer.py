@@ -507,3 +507,38 @@ def test_auto_routes_xpack_over_pack_at_short_lp(monkeypatch):
         got_packed = np.asarray(F.fused_encoder_layer_v3_stack(x, [p1], 8))
     assert calls["xpack"] == 0, "forced pack must disable xpack"
     np.testing.assert_allclose(got_packed, ref, atol=1e-4)
+
+
+def test_v3_pack_zero_keeps_xpack_eligible(monkeypatch):
+    """VITIQ_V3_PACK=0 means 'batch-packing off' — it must NOT disable the
+    xpack attention core (regression: the eligibility check once accepted
+    only pack in (-1, 1), so the documented certification combination
+    VITIQ_V3_ATTN=xpack VITIQ_V3_PACK=0 silently measured the chained
+    core). Only forcing pack >= 2 opts out of xpack."""
+    import vitiq.ops.pallas.fused_encoder_layer as fel
+
+    calls = []
+    real_pick = fel._pick_batch_block_v3_xpack
+
+    def spy(*a, **k):
+        g = real_pick(*a, **k)
+        calls.append(g)
+        return g
+
+    monkeypatch.setattr(fel, "_pick_batch_block_v3_xpack", spy)
+    rng = np.random.default_rng(7)
+    params = L.encoder_layer_init(jax.random.PRNGKey(3), 128, 256)
+    x = jnp.asarray(rng.standard_normal((2, 129, 128)), jnp.float32)
+    ref = np.asarray(L.encoder_layer_apply(params, x, 8, 0.0, None, False,
+                                           policy=REFERENCE))
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("VITIQ_V3_ATTN", "xpack")
+        monkeypatch.setenv("VITIQ_V3_PACK", "0")
+        got = np.asarray(fel.fused_encoder_layer_v3_stack(x, [params], 8))
+        assert calls and calls[-1] > 0, "xpack picker not consulted at PACK=0"
+        monkeypatch.setenv("VITIQ_V3_PACK", "2")
+        calls.clear()
+        got_packed = np.asarray(fel.fused_encoder_layer_v3_stack(x, [params], 8))
+        assert not calls, "forced pack>=2 must bypass the xpack core"
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    np.testing.assert_allclose(got_packed, ref, atol=1e-4)

@@ -111,3 +111,24 @@ def test_export_from_experiment_dir(tmp_path):
     got = np.asarray(art.run(x))
     want = np.asarray(jax.jit(build_serving_fn(cfg, params, STATS))(x))
     np.testing.assert_array_equal(got, want)
+
+
+def test_export_missing_explicit_checkpoint_raises(tmp_path):
+    """An explicitly requested checkpoint that is absent must raise, not
+    silently fall back to model_final.npz (which would bake different
+    weights into the artifact); only the DEFAULT model_best.npz falls back
+    (interrupted runs write only final weights)."""
+    cfg = _tiny_cfg()
+    params = init_amc_params(jax.random.PRNGKey(1), cfg.model)
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    (exp / "config.json").write_text(cfg.to_json())
+    (exp / "normalization_stats.json").write_text(json.dumps(STATS))
+    from vitiq.train.checkpoint import save_params
+    save_params(exp / "model_final.npz", params)
+    with pytest.raises(FileNotFoundError, match="model_bets.npz"):
+        export_from_experiment(exp, tmp_path / "art", batch_sizes=[4],
+                               checkpoint="model_bets.npz")
+    # the default falls back to model_final.npz when best is absent
+    out = export_from_experiment(exp, tmp_path / "art2", batch_sizes=[4])
+    assert (out / "manifest.json").exists()
