@@ -30,6 +30,20 @@ class TestCLIParser:
         assert cfg.train.weight_decay == 1e-4
         assert cfg.model.in_channels == 2
 
+    def test_preset_flag(self):
+        """--preset selects a named ExperimentConfig preset; flags still
+        override on top; the preset's arm wins unless --arm is explicit."""
+        args = build_parser().parse_args(["train", "--preset", "rawiq_best"])
+        cfg = _config_from_args(args)
+        assert cfg.model.arm == "rawiq"
+        assert (cfg.model.d_model, cfg.model.n_layers) == (256, 9)
+        assert cfg.train.batch_size == 128
+        args = build_parser().parse_args(
+            ["train", "--preset", "vit_tpu_production", "--n_layers", "3"])
+        cfg = _config_from_args(args)
+        assert cfg.model.arm == "vit" and cfg.model.n_head == 2
+        assert cfg.model.n_layers == 3
+
     def test_overrides_reach_config(self):
         args = build_parser().parse_args([
             "train", "--arm", "rawiq", "--d_model", "64", "--n_head", "4",

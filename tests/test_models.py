@@ -176,3 +176,52 @@ class TestTPUNumericsPreset:
         # bf16 matmuls with f32 accumulation & LN: logits agree loosely
         np.testing.assert_allclose(ref, tpu, atol=0.15, rtol=0.1)
         assert np.mean(np.argmax(ref, -1) == np.argmax(tpu, -1)) >= 0.5
+
+
+class TestRawiqBestPreset:
+    """The reference's best published checkpoint geometry (rawIQ
+    exp_L9_H8_F1024_W1e-3, 63.44%) must be available as a preset, match the
+    reference's own persisted config.json field-for-field, and run through
+    the framework (fused kernels are D-generic — interpreter-verified at
+    d_model=256)."""
+
+    REF_CFG = ("/root/reference/Transformer_Thesis/transformer_rawIQ/result/"
+               "checkpoints/exp_L9_H8_F1024_W1e-3/config.json")
+
+    def test_matches_reference_config_json(self):
+        import json, os
+        from vitiq.config import ExperimentConfig
+        if not os.path.exists(self.REF_CFG):
+            import pytest
+            pytest.skip("reference checkpoint config not present")
+        ref = json.loads(open(self.REF_CFG).read())
+        cfg = ExperimentConfig.rawiq_best()
+        m, t, d = cfg.model, cfg.train, cfg.data
+        assert (m.d_model, m.n_head, m.n_layers, m.ffn_hidden) == (
+            ref["D_MODEL"], ref["N_HEAD"], ref["N_LAYERS"], ref["FFN_HIDDEN"])
+        assert m.drop_prob == ref["DROP_PROB"]
+        assert m.embedding_type == ref["EMBEDDING_TYPE"]
+        assert m.segment_size == ref["SEGMENT_SIZE"]
+        assert m.use_cls_token == ref["USE_CLS_TOKEN"]
+        assert m.seq_length == ref["SEQ_LENGTH"]
+        assert t.batch_size == ref["BATCH_SIZE"]
+        assert t.learning_rate == ref["LEARNING_RATE"]
+        assert t.weight_decay == ref["WEIGHT_DECAY"]
+        assert t.label_smoothing == ref["LABEL_SMOOTHING"]
+        assert t.grad_clip_max_norm == ref["GRAD_CLIP_MAX_NORM"]
+        assert t.patience == ref["PATIENCE"]
+        assert t.save_freq == ref["SAVE_FREQ"]
+        assert d.split_seed == ref["SPLIT_SEED"]
+        assert d.norm_seed == ref["NORM_SEED"]
+        assert d.train_size == ref["TRAIN_SIZE"]
+        assert list(d.target_modulations) == ref["TARGET_MODULATIONS"]
+
+    def test_forward(self):
+        from vitiq.config import ExperimentConfig
+        from vitiq.models import init_amc_params, make_forward
+        cfg = ExperimentConfig.rawiq_best()
+        cfg.model.validate()
+        params = init_amc_params(jax.random.PRNGKey(0), cfg.model)
+        logits = jax.jit(make_forward(cfg.model))(
+            params, jnp.zeros((2, 2, 1024)))
+        assert logits.shape == (2, 19)

@@ -16,9 +16,20 @@ import sys
 from vitiq.config import ExperimentConfig
 
 
+PRESETS = ("vit_reference", "vit_tpu_production", "vit_synthetic19",
+           "rawiq_synthetic19", "vit_tiny_2016", "rawiq_reference",
+           "rawiq_best")
+
+
 def _add_train_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--arm", choices=["vit", "rawiq"], default="vit")
+    p.add_argument("--arm", choices=["vit", "rawiq"], default=None)
     p.add_argument("--config", type=str, help="Path to experiment config JSON")
+    p.add_argument("--preset", choices=PRESETS,
+                   help="start from a named ExperimentConfig preset (e.g. "
+                        "rawiq_best = the reference's best published "
+                        "checkpoint config, vit_tpu_production = the "
+                        "TPU-recommended d_head=64 variant); individual "
+                        "flags still override")
     # data
     p.add_argument("--source", choices=["synthetic", "hdf5"], default=None)
     p.add_argument("--features", choices=["iq", "amp_phase", "spectrogram"],
@@ -82,12 +93,15 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
 def _config_from_args(args) -> ExperimentConfig:
     if args.config:
         cfg = ExperimentConfig.from_json(args.config)
-    elif args.arm == "vit":
-        cfg = ExperimentConfig.vit_reference()
-    else:
+    elif getattr(args, "preset", None):
+        cfg = getattr(ExperimentConfig, args.preset)()
+    elif args.arm == "rawiq":
         cfg = ExperimentConfig.rawiq_reference()
-    if args.arm:
+    else:
+        cfg = ExperimentConfig.vit_reference()
+    if args.arm and args.arm != cfg.model.arm:
         cfg.model.arm = args.arm
+        cfg.model.in_channels = 0
         cfg.model.__post_init__()  # re-derive in_channels for the arm
     overrides = {
         "data.source": args.source,

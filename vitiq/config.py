@@ -439,6 +439,24 @@ class ExperimentConfig:
         )
         return _apply_overrides(cfg, overrides)
 
+    @classmethod
+    def rawiq_best(cls, **overrides) -> "ExperimentConfig":
+        """The reference's BEST published checkpoint: rawIQ
+        exp_L9_H8_F1024_W1e-3 — 63.44% overall on the 19-class RadioML
+        2018.01A test split, the stronger arm of the head-to-head (ref:
+        transformer_rawIQ/result/checkpoints/exp_L9_H8_F1024_W1e-3/
+        config.json and .../evaluation/test_classification_report.txt:4).
+        d_model=256, 9 layers, segment-16 tokens (65 incl. CLS), batch 128,
+        lr 1e-4, weight decay 1e-3, patience 10."""
+        cfg = cls(
+            model=ModelConfig(arm="rawiq", num_classes=19, d_model=256, n_head=8, n_layers=9,
+                              ffn_hidden=1024, drop_prob=0.1, embedding_type="segment",
+                              segment_size=16, use_cls_token=True),
+            data=DataConfig(source="hdf5", target_modulations=TARGET_MODULATIONS_19),
+            train=TrainConfig(batch_size=128, weight_decay=1e-3, save_freq=10),
+        )
+        return _apply_overrides(cfg, overrides)
+
 
 def _apply_overrides(cfg: ExperimentConfig, overrides: Dict[str, Any]) -> ExperimentConfig:
     """Apply flat 'section.key' or bare-key overrides (CLI overlay).

@@ -45,7 +45,13 @@ def write_classification_report(
     """
     from sklearn.metrics import classification_report
 
-    report = classification_report(labels, preds, target_names=class_names, digits=4,
+    # labels= pins the report to ALL configured classes: without it sklearn
+    # raises when a class is absent from a (small) split — a latent crash
+    # the reference shares (utils.py:384-389 passes target_names only).
+    # Byte-identical to the reference format whenever every class appears.
+    report = classification_report(labels, preds,
+                                   labels=np.arange(len(class_names)),
+                                   target_names=class_names, digits=4,
                                    zero_division=0)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
