@@ -46,6 +46,16 @@ def main() -> int:
         cfg_tpu = flagship_rawiq_config("tpu")
         cfg_ref = flagship_rawiq_config("reference")
         pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
+    elif which == "best":
+        # the reference's best published checkpoint geometry (rawIQ
+        # exp_L9_H8_F1024_W1e-3: d256/L9/H8/seg16 -> 65 tokens, Lp=80) —
+        # exercises the fused stacks at d_model=256
+        mk = lambda numerics: ModelConfig(
+            arm="rawiq", num_classes=19, d_model=256, n_head=8, n_layers=9,
+            ffn_hidden=1024, drop_prob=0.1, embedding_type="segment",
+            segment_size=16, numerics=numerics)
+        cfg_tpu, cfg_ref = mk("tpu"), mk("reference")
+        pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
     elif which == "seg64":
         # segment-64 tokenization (17 tokens, Lp=32) — the small-Lp xpack
         # regime (VITIQ_V3_ATTN=xpack [+ VITIQ_V3_G] to exercise it)

@@ -52,6 +52,16 @@ def rawiq_seg64_config(numerics: str = "tpu") -> ModelConfig:
                        segment_size=64, numerics=numerics)
 
 
+def rawiq_best_config(numerics: str = "tpu") -> ModelConfig:
+    """The reference's BEST published checkpoint geometry (rawIQ
+    exp_L9_H8_F1024_W1e-3, 63.44%): d256/L9/H8/seg16 — 65 tokens at
+    twice the flagship's width (ref: transformer_rawIQ/result/checkpoints/
+    exp_L9_H8_F1024_W1e-3/config.json)."""
+    return ModelConfig(arm="rawiq", num_classes=19, d_model=256, n_head=8,
+                       n_layers=9, ffn_hidden=1024, drop_prob=0.1,
+                       segment_size=16, numerics=numerics)
+
+
 def flagship_conv1d_config(numerics: str = "tpu") -> ModelConfig:
     """rawIQ conv1d tokenization — 1025 tokens incl. CLS, the reference's
     long-sequence mode (ref: transformer_rawIQ/models/encoder.py:34-41)."""
@@ -117,6 +127,7 @@ def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
     batch_size = batch_size or _default_batch()
     cfg = {"vit": flagship_vit_config, "rawiq": flagship_rawiq_config,
            "rawiq_seg64": rawiq_seg64_config,
+           "rawiq_best": rawiq_best_config,
            "rawiq_conv1d": flagship_conv1d_config}[arm](numerics)
     if arm == "rawiq_conv1d":
         # 1025-token attention is ~60x the 129-token FLOPs; keep the default
@@ -497,6 +508,8 @@ def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = N
         return bench_fused_infer("rawiq", batch_size, steps, n_head=n_head)
     if which == "rawiq64_infer":
         return bench_fused_infer("rawiq_seg64", batch_size, steps, n_head=n_head)
+    if which == "rawiq_best_infer":
+        return bench_fused_infer("rawiq_best", batch_size, steps, n_head=n_head)
     if which == "conv1d_infer":
         # n_head matters most here: the round-3f attribution showed the
         # 1025-token kernel is MXU-pass-bound with score passes scaling

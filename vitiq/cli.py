@@ -339,9 +339,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("bench", help="Throughput / latency benchmarks")
     p.add_argument("--which", default="fused_vit_infer",
                    choices=["fused_vit_infer", "rawiq_infer", "rawiq64_infer",
-                            "conv1d_infer", "int8_infer", "train_step",
-                            "head_variant", "dsp_frontend", "sps_infer",
-                            "ingestion", "e2e_serving", "streaming", "all"])
+                            "rawiq_best_infer", "conv1d_infer", "int8_infer",
+                            "train_step", "head_variant", "dsp_frontend",
+                            "sps_infer", "ingestion", "e2e_serving",
+                            "streaming", "all"])
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--sps", type=int, default=2,
