@@ -9,11 +9,14 @@ each with the full confusion/report artifact set, and runs the cross-arm
 comparison — the workflow the reference performs manually across its two
 script trees + compare_models.py.
 
-Usage: python scripts/proxy_head_to_head.py [epochs] [frames_per_class] [numerics]
+Usage: python scripts/proxy_head_to_head.py [epochs] [frames_per_class] \
+    [numerics] [classes]
 Defaults: 100 epochs (early stop governs), 2048 frames/class, numerics=tpu
-on TPU else reference. Artifacts under result/proxy19/, comparison under
-result/proxy19/comparison_results/, summary JSON at
-result/proxy19/head_to_head_summary.json.
+on TPU else reference, classes=19 (24 = the full RadioML 2018.01A list
+incl. the analog AM/FM families, ref: ViT/training/evaluate.py:69-74).
+Artifacts under result/proxy{classes}/, comparison under
+result/proxy{classes}/comparison_results/, summary JSON at
+result/proxy{classes}/head_to_head_summary.json.
 """
 import json
 import pathlib
@@ -35,8 +38,9 @@ def main() -> int:
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     numerics = (sys.argv[3] if len(sys.argv) > 3
                 else ("tpu" if jax.default_backend() == "tpu" else "reference"))
+    n_classes = int(sys.argv[4]) if len(sys.argv) > 4 else 19
 
-    out_root = pathlib.Path("result/proxy19")
+    out_root = pathlib.Path(f"result/proxy{n_classes}")
     common = {
         "data.synthetic_frames_per_class": frames,
         "model.numerics": numerics,
@@ -44,8 +48,14 @@ def main() -> int:
         "checkpoint_dir": str(out_root / "ckpt"),
         "log_dir": str(out_root / "logs"),
     }
+    if n_classes == 24:
+        from vitiq.config import TARGET_MODULATIONS_24
+        common["data.synthetic_classes"] = TARGET_MODULATIONS_24
+        common["model.num_classes"] = 24
     vit_cfg = ExperimentConfig.vit_synthetic19(**common)
     rawiq_cfg = ExperimentConfig.rawiq_synthetic19(**common)
+    vit_cfg.experiment_name = f"vit_synthetic{n_classes}"
+    rawiq_cfg.experiment_name = f"rawiq_synthetic{n_classes}"
 
     summary = run_head_to_head(
         vit_cfg, rawiq_cfg,
