@@ -64,6 +64,15 @@ def main() -> int:
         cfg_tpu = rawiq_seg64_config("tpu")
         cfg_ref = rawiq_seg64_config("reference")
         pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
+    elif which == "seg64mp":
+        # segment-64 MEAN-POOL readout (use_cls_token=False, ref
+        # transformer_rawIQ.py:88-93): 16 tokens, Lp=16 — zero sublane
+        # padding, the highest-ceiling served shape (pass_roofline.py)
+        from vitiq.bench import rawiq_seg64_mp_config
+
+        cfg_tpu = rawiq_seg64_mp_config("tpu")
+        cfg_ref = rawiq_seg64_mp_config("reference")
+        pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
     else:
         cfg_tpu = flagship_vit_config("tpu")
         cfg_ref = flagship_vit_config("reference")

@@ -115,6 +115,7 @@ def test_v3_stack_matches_reference_layers(Lx, n_head):
 
 
 @pytest.mark.parametrize("Lx,n_head,cls_only", [
+    (16, 8, False),   # seg-64 mean-pool geometry: Lp=16, ZERO padded rows
     (17, 4, False),   # single tile, no padded keys beyond sublane pad
     (129, 8, False),  # flagship geometry incl. 15 padded key rows
     (200, 8, False),  # several head blocks per K-pack row span
@@ -466,9 +467,12 @@ def test_xpack_picker_measured_geometries():
     assert _pick_batch_block_v3_xpack(144, 128, 512, 8, 2) == 7  # flagship
     assert _pick_batch_block_v3_xpack(144, 128, 512, 4, 2) == 8  # H4
     assert _pick_batch_block_v3_xpack(144, 128, 512, 2, 2) == 8  # H2
-    # small-Lp ladder (round 3d): seg-64 lands on G=16 (541.8K frames/s),
-    # seg-16 on G=8 (221.6K; its G=16 measured slower AND overflows)
-    assert _pick_batch_block_v3_xpack(32, 128, 1024, 8, 2) == 16  # seg-64
+    # small-Lp ladder (rounds 3d/3h): Lp <= 32 extends the candidates to
+    # 64/32 — seg-64 CLS lands on G=32 (measured-best 548.0K), seg-64
+    # mean-pool (Lp=16) on G=64; seg-16 stays on G=8 (its G=16 measured
+    # slower AND overflows the budget at 21.6 MB)
+    assert _pick_batch_block_v3_xpack(32, 128, 1024, 8, 2) == 32  # seg-64
+    assert _pick_batch_block_v3_xpack(16, 128, 1024, 8, 2) == 64  # seg-64 mp
     assert _pick_batch_block_v3_xpack(80, 128, 1024, 8, 2) == 8   # seg-16
     assert _pick_batch_block_v3_xpack(1032, 128, 1024, 8, 2) == 0  # conv1d
 
@@ -542,3 +546,46 @@ def test_v3_pack_zero_keeps_xpack_eligible(monkeypatch):
         assert not calls, "forced pack>=2 must bypass the xpack core"
     np.testing.assert_allclose(got, ref, atol=1e-4)
     np.testing.assert_allclose(got_packed, ref, atol=1e-4)
+
+
+def test_meanpool_seg64_end_to_end_fused_matches_reference(monkeypatch):
+    """The seg-64 MEAN-POOL serving route (use_cls_token=False — the
+    reference's transformer_rawIQ.py:88-93 pooling flag): 16 tokens land
+    exactly on the bf16 sublane boundary (Lp=16, ZERO padded rows), the
+    shape the round-3h 1M-frames/s geometry serves. End-to-end fused
+    (z-score + segment embed + xpack stack + mean-pool head) must agree
+    with the unfused reference-f32 path; mean-pool needs every token, so
+    this also covers the cls_only=False final layer under xpack."""
+    from dataclasses import replace
+
+    import vitiq.ops.pallas.fused_encoder_layer as F
+    from vitiq.bench import FLAGSHIP_STATS, rawiq_seg64_mp_config
+    from vitiq.dsp import preprocess_batch_rawiq
+    from vitiq.models import init_amc_params, make_forward
+
+    monkeypatch.setenv("VITIQ_FUSED_FORCE", "1")
+    monkeypatch.setenv("VITIQ_PALLAS_INTERPRET", "1")
+    calls = {"xpack": 0}
+    orig = F._v3_attention_core_xpack
+
+    def spy(*a, **k):
+        calls["xpack"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(F, "_v3_attention_core_xpack", spy)
+
+    cfg = rawiq_seg64_mp_config("tpu")
+    assert cfg.num_tokens == 16  # no CLS row
+    params = init_amc_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((16, 1024, 2)),
+                    jnp.float32)
+    xb = preprocess_batch_rawiq(x, FLAGSHIP_STATS)
+    out_fused = make_forward(cfg)(params, xb, train=False)
+    assert calls["xpack"] > 0, "mean-pool route must ride the xpack core"
+
+    monkeypatch.setenv("VITIQ_FUSED_FORCE", "0")
+    cfg_ref = rawiq_seg64_mp_config("reference")
+    out_ref = make_forward(cfg_ref)(params, xb, train=False)
+    agree = float((out_fused.argmax(-1) == out_ref.argmax(-1)).mean())
+    assert agree == 1.0
+    assert float(jnp.abs(out_fused.astype(jnp.float32) - out_ref).max()) < 0.05

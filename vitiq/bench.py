@@ -62,6 +62,31 @@ def rawiq_best_config(numerics: str = "tpu") -> ModelConfig:
                        segment_size=16, numerics=numerics)
 
 
+def rawiq_seg64_mp_config(numerics: str = "tpu") -> ModelConfig:
+    """rawIQ segment-64 with MEAN-POOL readout (use_cls_token=False — the
+    reference's own pooling flag, transformer_rawIQ.py:88-93): 16 tokens,
+    Lp=16, ZERO sublane padding. The CLS variant pays 32 padded rows for
+    17 real tokens — 1.88x kernel-real M on EVERY stack GEMM — so this
+    geometry roughly halves the per-frame MXU cost; its pass-arithmetic
+    ceiling (scripts/pass_roofline.py) is ~2.8M frames/s, the highest of
+    any served shape and ~2x the CLS seg-64's. Accuracy of mean-pool vs
+    CLS is gated on the synthetic proxy (scripts/pool_gate.py) — all
+    published reference checkpoints used CLS."""
+    return ModelConfig(arm="rawiq", num_classes=19, d_model=128, n_head=8,
+                       n_layers=6, ffn_hidden=1024, drop_prob=0.2,
+                       segment_size=64, use_cls_token=False,
+                       numerics=numerics)
+
+
+def rawiq_mp_config(numerics: str = "tpu") -> ModelConfig:
+    """rawIQ segment-16 with MEAN-POOL readout: 64 tokens, Lp=64 (the CLS
+    variant's 65 tokens pad to 80 — 25% M waste on every stack GEMM)."""
+    return ModelConfig(arm="rawiq", num_classes=19, d_model=128, n_head=8,
+                       n_layers=6, ffn_hidden=1024, drop_prob=0.2,
+                       segment_size=16, use_cls_token=False,
+                       numerics=numerics)
+
+
 def flagship_conv1d_config(numerics: str = "tpu") -> ModelConfig:
     """rawIQ conv1d tokenization — 1025 tokens incl. CLS, the reference's
     long-sequence mode (ref: transformer_rawIQ/models/encoder.py:34-41)."""
@@ -127,6 +152,8 @@ def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
     batch_size = batch_size or _default_batch()
     cfg = {"vit": flagship_vit_config, "rawiq": flagship_rawiq_config,
            "rawiq_seg64": rawiq_seg64_config,
+           "rawiq_seg64_mp": rawiq_seg64_mp_config,
+           "rawiq_mp": rawiq_mp_config,
            "rawiq_best": rawiq_best_config,
            "rawiq_conv1d": flagship_conv1d_config}[arm](numerics)
     if arm == "rawiq_conv1d":
@@ -508,6 +535,13 @@ def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = N
         return bench_fused_infer("rawiq", batch_size, steps, n_head=n_head)
     if which == "rawiq64_infer":
         return bench_fused_infer("rawiq_seg64", batch_size, steps, n_head=n_head)
+    if which == "rawiq64_mp_infer":
+        # mean-pool readout: Lp=16 (zero sublane padding) — the served
+        # shape with the highest pass-arithmetic ceiling (~2.8M frames/s)
+        return bench_fused_infer("rawiq_seg64_mp", batch_size, steps,
+                                 n_head=n_head)
+    if which == "rawiq_mp_infer":
+        return bench_fused_infer("rawiq_mp", batch_size, steps, n_head=n_head)
     if which == "rawiq_best_infer":
         return bench_fused_infer("rawiq_best", batch_size, steps, n_head=n_head)
     if which == "conv1d_infer":

@@ -994,10 +994,17 @@ def _pick_batch_block_v3_xpack(Lp: int, D: int, H: int, n_head: int,
     default)**; G=8 (18.3 MB) fails to compile within the AOT budget —
     hence the 16.2 MB cap, which admits exactly G=7 on the flagship.
     Small-Lp ladder (round 3d, seg-64 Lp=32): G=4 324.9K < G=8 413.2K <
-    G=16 541.8K ~ G=32 548.0K (G=24 dips to 491.2K) — candidates include
-    16 so Lp=32 lands there; Lp=80's G=16 measured SLOWER than G=8
-    (206.3K vs 221.6K) and is excluded by the budget anyway (21.6 MB)."""
-    for g in (16, 8, 7, 6, 5, 4, 3, 2, 1):
+    G=16 541.8K ~ G=32 548.0K (G=24 dips to 491.2K); Lp=80's G=16
+    measured SLOWER than G=8 (206.3K vs 221.6K) and is excluded by the
+    budget anyway (21.6 MB). For Lp <= 32 the candidate ladder extends to
+    64/32 (the ~0.2-0.4 MB/G footprints leave the 16-grid far from the
+    VMEM wall and the measured Lp=32 ladder keeps rising to G=32): seg-64
+    CLS (Lp=32, ~0.41 MB/G) lands on G=32 = the measured-best 548.0K;
+    seg-64 MEAN-POOL (Lp=16, ~0.19 MB/G) on G=64 (G ladder to be pinned
+    by the round-3h on-chip probes; VITIQ_V3_G overrides)."""
+    cands = ((64, 32, 24, 16, 8, 7, 6, 5, 4, 3, 2, 1) if Lp <= 32
+             else (16, 8, 7, 6, 5, 4, 3, 2, 1))
+    for g in cands:
         x_like = g * Lp * D
         vmem = (
             2 * 2 * x_like * itemsize              # in/out double-buffered
