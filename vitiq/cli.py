@@ -83,6 +83,11 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="synthetic source: RRC-shape constellation frames at "
                         "this oversampling (pairs with --sps)")
     p.add_argument("--embedding_type", choices=["conv1d", "segment"])
+    p.add_argument("--pooling", choices=["cls", "mean"],
+                   help="rawiq arm readout (reference USE_CLS_TOKEN flag, "
+                        "transformer_rawIQ.py:88-93): 'mean' drops the CLS "
+                        "row — at seg-64 that lands on Lp=16 (zero sublane "
+                        "padding), the highest-ceiling TPU serving shape")
     p.add_argument("--numerics", choices=["reference", "tpu"])
     # other
     p.add_argument("--resume", type=str, help="Path to checkpoint to resume from")
@@ -132,6 +137,8 @@ def _config_from_args(args) -> ExperimentConfig:
         "data.synthetic_frames_per_class": args.frames_per_class,
         "data.synthetic_shaping_sps": args.shaping_sps,
         "model.embedding_type": args.embedding_type,
+        "model.use_cls_token": (None if args.pooling is None
+                                else args.pooling == "cls"),
         "model.numerics": args.numerics,
         "experiment_name": args.experiment_name,
     }
