@@ -76,16 +76,16 @@ CONFIGS = [
     ("rawIQ seg-16 (65 tok, ffn1024)",
      (65, 128, 8, 1024, 6, True, True, gemm(64, 32, 128)), 227_000),
     ("rawIQ seg-64 (17 tok)",
-     (17, 128, 8, 1024, 6, True, True, gemm(16, 128, 128)), 539_100),
+     (17, 128, 8, 1024, 6, True, True, gemm(16, 128, 128)), 631_225),
     # mean-pool readouts (use_cls_token=False, the reference's
     # transformer_rawIQ.py:88-93 mode): no CLS row -> token count lands ON
     # the sublane boundary, erasing the padded-row waste (seg-64: Lp 32->16
     # halves kernel-real M; seg-16: Lp 80->64). cls_only=False (mean needs
     # every token, so the last layer runs full).
     ("rawIQ seg-64 MEAN-POOL (16 tok, Lp16)",
-     (16, 128, 8, 1024, 6, False, True, gemm(16, 128, 128)), 0),
+     (16, 128, 8, 1024, 6, False, True, gemm(16, 128, 128)), 1_299_949),
     ("rawIQ seg-16 MEAN-POOL (64 tok, Lp64)",
-     (64, 128, 8, 1024, 6, False, True, gemm(64, 32, 128)), 0),
+     (64, 128, 8, 1024, 6, False, True, gemm(64, 32, 128)), 310_075),
     # conv1d serves through the CHAINED core (xpack VMEM-ineligible)
     ("conv1d H8 (1025 tok)",
      (1025, 128, 8, 1024, 6, True, False, gemm(1024, 6, 128)), 5_551),

@@ -999,9 +999,13 @@ def _pick_batch_block_v3_xpack(Lp: int, D: int, H: int, n_head: int,
     budget anyway (21.6 MB). For Lp <= 32 the candidate ladder extends to
     64/32 (the ~0.2-0.4 MB/G footprints leave the 16-grid far from the
     VMEM wall and the measured Lp=32 ladder keeps rising to G=32): seg-64
-    CLS (Lp=32, ~0.41 MB/G) lands on G=32 = the measured-best 548.0K;
-    seg-64 MEAN-POOL (Lp=16, ~0.19 MB/G) on G=64 (G ladder to be pinned
-    by the round-3h on-chip probes; VITIQ_V3_G overrides)."""
+    CLS (Lp=32, ~0.41 MB/G) lands on G=32 — measured 631.2K frames/s
+    @ 16384 (round 3h; was 541.8K at the old G=16 pick); seg-64
+    MEAN-POOL (Lp=16, ~0.19 MB/G) lands on G=64 — round-3h ladder
+    @ 16384: G=16 985K < G=32 1,178K ~ G=64 1,300K ~ G=96 1,145K
+    (32/64/96 share one noise band; one forced-G=64 probe read 534K,
+    contradicted by three same-program runs — relay wedge, ledgered in
+    docs/BENCHMARKS.md round 3h)."""
     cands = ((64, 32, 24, 16, 8, 7, 6, 5, 4, 3, 2, 1) if Lp <= 32
              else (16, 8, 7, 6, 5, 4, 3, 2, 1))
     for g in cands:
