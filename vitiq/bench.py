@@ -240,7 +240,12 @@ def bench_train_step(arm: str = "vit", batch_size: Optional[int] = None,
     from vitiq.train.optim import create_train_state, make_optimizer
 
     batch_size = batch_size or max(_default_batch() // 4, 64)
-    cfg = flagship_vit_config(numerics) if arm == "vit" else flagship_rawiq_config(numerics)
+    cfg = {"vit": flagship_vit_config, "rawiq": flagship_rawiq_config,
+           "rawiq_seg64": rawiq_seg64_config,
+           "rawiq_seg64_mp": rawiq_seg64_mp_config,
+           "rawiq_mp": rawiq_mp_config,
+           "rawiq_best": rawiq_best_config,
+           "rawiq_conv1d": flagship_conv1d_config}[arm](numerics)
     tcfg = TrainConfig(batch_size=batch_size)
     params = init_amc_params(jax.random.PRNGKey(0), cfg)
     fwd = make_forward(cfg)
