@@ -186,6 +186,29 @@ class TestBenchEntry:
         assert res["unit"] == "frames/s"
         assert "p50_latency_ms" in res
 
+    def test_bench_meanpool_arm_smoke(self):
+        """The seg-64 mean-pool arm (the 1M-frames/s geometry) must bench
+        end-to-end; its config serves 16 tokens with no CLS row."""
+        from vitiq.bench import bench_fused_infer, rawiq_seg64_mp_config
+
+        assert rawiq_seg64_mp_config().num_tokens == 16
+        res = bench_fused_infer("rawiq_seg64_mp", batch_size=16, steps=2,
+                                numerics="reference")
+        assert res["value"] > 0
+
+    def test_bench_train_step_arm_configs(self):
+        """bench_train_step resolves every served arm via ARM_CONFIGS
+        (regression: it used to hardwire vit/rawiq, so new arms silently
+        benched the wrong config)."""
+        from vitiq import bench as B
+
+        assert set(B.ARM_CONFIGS) >= {"vit", "rawiq", "rawiq_seg64",
+                                      "rawiq_seg64_mp", "rawiq_mp",
+                                      "rawiq_best", "rawiq_conv1d"}
+        res = B.bench_train_step("rawiq_seg64_mp", batch_size=32, steps=2,
+                                 numerics="reference")
+        assert res["value"] > 0
+
     def test_graft_entry(self):
         import sys
         sys.path.insert(0, "/root/repo")

@@ -95,6 +95,19 @@ def flagship_conv1d_config(numerics: str = "tpu") -> ModelConfig:
                        embedding_type="conv1d", numerics=numerics)
 
 
+# Every benchable serving geometry, by arm name (bench_fused_infer,
+# bench_train_step, and the CLI --which dispatch all resolve through this).
+ARM_CONFIGS = {
+    "vit": flagship_vit_config,
+    "rawiq": flagship_rawiq_config,
+    "rawiq_seg64": rawiq_seg64_config,
+    "rawiq_seg64_mp": rawiq_seg64_mp_config,
+    "rawiq_mp": rawiq_mp_config,
+    "rawiq_best": rawiq_best_config,
+    "rawiq_conv1d": flagship_conv1d_config,
+}
+
+
 def _default_batch() -> int:
     # measured batch scaling on the flagship (v5e): 109.2K frames/s @ 8192,
     # 111.8K @ 16384, 112.7K @ 32768 — 16K sits at the knee of the
@@ -150,12 +163,7 @@ def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
     devices (serving scale-out path; reported frames/s is then the MESH
     total, not per-chip)."""
     batch_size = batch_size or _default_batch()
-    cfg = {"vit": flagship_vit_config, "rawiq": flagship_rawiq_config,
-           "rawiq_seg64": rawiq_seg64_config,
-           "rawiq_seg64_mp": rawiq_seg64_mp_config,
-           "rawiq_mp": rawiq_mp_config,
-           "rawiq_best": rawiq_best_config,
-           "rawiq_conv1d": flagship_conv1d_config}[arm](numerics)
+    cfg = ARM_CONFIGS[arm](numerics)
     if arm == "rawiq_conv1d":
         # 1025-token attention is ~60x the 129-token FLOPs; keep the default
         # batch within HBM
@@ -240,12 +248,7 @@ def bench_train_step(arm: str = "vit", batch_size: Optional[int] = None,
     from vitiq.train.optim import create_train_state, make_optimizer
 
     batch_size = batch_size or max(_default_batch() // 4, 64)
-    cfg = {"vit": flagship_vit_config, "rawiq": flagship_rawiq_config,
-           "rawiq_seg64": rawiq_seg64_config,
-           "rawiq_seg64_mp": rawiq_seg64_mp_config,
-           "rawiq_mp": rawiq_mp_config,
-           "rawiq_best": rawiq_best_config,
-           "rawiq_conv1d": flagship_conv1d_config}[arm](numerics)
+    cfg = ARM_CONFIGS[arm](numerics)
     tcfg = TrainConfig(batch_size=batch_size)
     params = init_amc_params(jax.random.PRNGKey(0), cfg)
     fwd = make_forward(cfg)
