@@ -70,8 +70,11 @@ def rawiq_seg64_mp_config(numerics: str = "tpu") -> ModelConfig:
     geometry roughly halves the per-frame MXU cost; its pass-arithmetic
     ceiling (scripts/pass_roofline.py) is ~2.8M frames/s, the highest of
     any served shape and ~2x the CLS seg-64's. Accuracy of mean-pool vs
-    CLS is gated on the synthetic proxy (scripts/pool_gate.py) — all
-    published reference checkpoints used CLS."""
+    CLS (scripts/pool_gate.py, paired seeds, two TPU regimes): no
+    detectable cost — weak regime +0.68 pts t=+8.66, strong regime
+    −0.65 pts t=−1.15 (within noise, n=5) with higher per-seed variance;
+    all published reference checkpoints used CLS, so real-data
+    validation remains the deployment gate."""
     return ModelConfig(arm="rawiq", num_classes=19, d_model=128, n_head=8,
                        n_layers=6, ffn_hidden=1024, drop_prob=0.2,
                        segment_size=64, use_cls_token=False,
