@@ -64,6 +64,13 @@ def main() -> int:
         cfg_tpu = rawiq_seg64_config("tpu")
         cfg_ref = rawiq_seg64_config("reference")
         pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
+    elif which == "bestmp":
+        # best-checkpoint geometry (d256/L9/seg16) with mean-pool: Lp=64
+        from vitiq.bench import rawiq_best_mp_config
+
+        cfg_tpu = rawiq_best_mp_config("tpu")
+        cfg_ref = rawiq_best_mp_config("reference")
+        pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
     elif which == "seg64mp":
         # segment-64 MEAN-POOL readout (use_cls_token=False, ref
         # transformer_rawIQ.py:88-93): 16 tokens, Lp=16 — zero sublane

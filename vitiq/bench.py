@@ -81,6 +81,16 @@ def rawiq_seg64_mp_config(numerics: str = "tpu") -> ModelConfig:
                        numerics=numerics)
 
 
+def rawiq_best_mp_config(numerics: str = "tpu") -> ModelConfig:
+    """The reference's best-checkpoint geometry (d256/L9/seg16) with the
+    MEAN-POOL readout: 64 tokens, Lp=64 vs the CLS variant's 65→80 —
+    the same 25% padded-row saving as the flagship-width seg-16 arm."""
+    return ModelConfig(arm="rawiq", num_classes=19, d_model=256, n_head=8,
+                       n_layers=9, ffn_hidden=1024, drop_prob=0.1,
+                       segment_size=16, use_cls_token=False,
+                       numerics=numerics)
+
+
 def rawiq_mp_config(numerics: str = "tpu") -> ModelConfig:
     """rawIQ segment-16 with MEAN-POOL readout: 64 tokens, Lp=64 (the CLS
     variant's 65 tokens pad to 80 — 25% M waste on every stack GEMM)."""
@@ -107,6 +117,7 @@ ARM_CONFIGS = {
     "rawiq_seg64_mp": rawiq_seg64_mp_config,
     "rawiq_mp": rawiq_mp_config,
     "rawiq_best": rawiq_best_config,
+    "rawiq_best_mp": rawiq_best_mp_config,
     "rawiq_conv1d": flagship_conv1d_config,
 }
 
@@ -555,6 +566,9 @@ def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = N
         return bench_fused_infer("rawiq_mp", batch_size, steps, n_head=n_head)
     if which == "rawiq_best_infer":
         return bench_fused_infer("rawiq_best", batch_size, steps, n_head=n_head)
+    if which == "rawiq_best_mp_infer":
+        return bench_fused_infer("rawiq_best_mp", batch_size, steps,
+                                 n_head=n_head)
     if which == "conv1d_infer":
         # n_head matters most here: the round-3f attribution showed the
         # 1025-token kernel is MXU-pass-bound with score passes scaling
