@@ -506,14 +506,17 @@ def bench_e2e_serving(num_frames: int = 65536, batch_size: Optional[int] = None,
 
 
 def bench_streaming(num_channels: int = 64, windows: Optional[int] = None,
-                    steps: int = 24) -> Dict:
+                    steps: int = 24, arm: str = "vit") -> Dict:
     """BASELINE config 5: wideband stream -> 64-channel polyphase channelizer
     -> fused normalize+classify, ONE jit program (vitiq/streaming.py). Reports
-    classified frames/s (each window yields num_channels frames)."""
+    classified frames/s (each window yields num_channels frames). `arm`
+    selects the classifier geometry (any ARM_CONFIGS key; the channelizer
+    ingests ONE sequential wideband stream either way, so pairing it with
+    the seg-64 mean-pool classifier is the >1M-frames/s end-to-end path)."""
     from vitiq.streaming import make_streaming_classifier
 
     windows = windows or max((_default_batch() // num_channels), 2)
-    cfg = flagship_vit_config("tpu")
+    cfg = ARM_CONFIGS[arm]("tpu")
     params = init_amc_params(jax.random.PRNGKey(0), cfg)
     fwd = make_forward(cfg)
     classify = make_streaming_classifier(cfg, fwd, FLAGSHIP_STATS,
@@ -535,6 +538,7 @@ def bench_streaming(num_channels: int = 64, windows: Optional[int] = None,
         "metric": "streaming_channelized_frames_per_sec_per_chip",
         "value": frames / t["p50_s"],
         "unit": "frames/s",
+        "classifier_arm": arm,
         "num_channels": num_channels,
         "windows_per_call": windows,
         "p50_latency_ms": t["p50_s"] * 1e3,
