@@ -2,7 +2,7 @@
 """On-TPU correctness spot-check: the fused-layer bf16 inference path vs the
 reference f32 path. Run on a TPU backend.
 
-Usage: python scripts/tpu_check_fused.py [vit|conv1d|rawiq|seg64] [batch] [n_head]
+Usage: python scripts/tpu_check_fused.py [vit|conv1d|rawiq|best|seg64|bestmp|seg64mp|tiny] [batch] [n_head]
   vit     — flagship ViT d128/L6 (129 tokens), default
   conv1d  — rawIQ conv1d mode (1025 tokens, ref:
             transformer_rawIQ/models/encoder.py:34-41)
@@ -80,6 +80,15 @@ def main() -> int:
         cfg_tpu = rawiq_seg64_mp_config("tpu")
         cfg_ref = rawiq_seg64_mp_config("reference")
         pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
+    elif which == "tiny":
+        # BASELINE config 2: ViT-Tiny 2016.10a geometry (d64/L4/H4,
+        # 128-sample frames -> 16x16 image, 17 tokens) — exercises the
+        # fused stacks at d_model=64 (half a lane tile)
+        from vitiq.bench import vit_tiny_2016_config
+
+        cfg_tpu = vit_tiny_2016_config("tpu")
+        cfg_ref = vit_tiny_2016_config("reference")
+        pre = lambda x: preprocess_batch_vit(x, FLAGSHIP_STATS, H=16, W=16)
     else:
         cfg_tpu = flagship_vit_config("tpu")
         cfg_ref = flagship_vit_config("reference")
@@ -91,7 +100,8 @@ def main() -> int:
         cfg_tpu, cfg_ref = replace(cfg_tpu, n_head=nh), replace(cfg_ref, n_head=nh)
         which = f"{which}_h{nh}"
     params = init_amc_params(jax.random.PRNGKey(0), cfg_tpu)
-    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, 1024, 2)), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (B, cfg_tpu.seq_length, 2)), jnp.float32)
 
     fused = jax.jit(lambda p, x: make_forward(cfg_tpu)(p, pre(x), train=False))
     ref = jax.jit(lambda p, x: make_forward(cfg_ref)(p, pre(x), train=False))

@@ -196,6 +196,18 @@ class TestBenchEntry:
                                 numerics="reference")
         assert res["value"] > 0
 
+    def test_bench_vit_tiny_arm(self):
+        """BASELINE config 2 (ViT-Tiny 2016.10a geometry: 128-sample frames,
+        16x16 images, 11 classes) benches end-to-end with its own fold
+        geometry (regression: the vit preprocess used to hardwire 32x64)."""
+        from vitiq.bench import bench_fused_infer, vit_tiny_2016_config
+
+        cfg = vit_tiny_2016_config()
+        assert cfg.num_tokens == 17 and cfg.num_classes == 11  # 16 patches + CLS
+        res = bench_fused_infer("vit_tiny", batch_size=16, steps=2,
+                                numerics="reference")
+        assert res["value"] > 0
+
     def test_bench_train_step_arm_configs(self):
         """bench_train_step resolves every served arm via ARM_CONFIGS
         (regression: it used to hardwire vit/rawiq, so new arms silently
@@ -204,7 +216,8 @@ class TestBenchEntry:
 
         assert set(B.ARM_CONFIGS) >= {"vit", "rawiq", "rawiq_seg64",
                                       "rawiq_seg64_mp", "rawiq_mp",
-                                      "rawiq_best", "rawiq_conv1d"}
+                                      "rawiq_best", "rawiq_conv1d",
+                                      "vit_tiny"}
         res = B.bench_train_step("rawiq_seg64_mp", batch_size=32, steps=2,
                                  numerics="reference")
         assert res["value"] > 0

@@ -6,7 +6,11 @@ ref ViT/training/train.py:60-80, ViT/training/evaluate.py:69-74)."""
 import numpy as np
 import pytest
 
-from vitiq.config import TARGET_MODULATIONS_19, TARGET_MODULATIONS_24
+from vitiq.config import (
+    RADIOML_2016_CLASSES,
+    TARGET_MODULATIONS_19,
+    TARGET_MODULATIONS_24,
+)
 from vitiq.data.synthetic import (
     _CONSTELLATIONS,
     SYNTHETIC_MODULATIONS,
@@ -18,6 +22,12 @@ from vitiq.data.synthetic import (
 class TestModulationCoverage:
     def test_all_24_reference_classes_supported(self):
         for mod in TARGET_MODULATIONS_24:
+            assert mod in SYNTHETIC_MODULATIONS, mod
+
+    def test_all_2016a_classes_supported(self):
+        """The 11-class RadioML 2016.10a task (BASELINE.json config 2)."""
+        assert len(RADIOML_2016_CLASSES) == 11
+        for mod in RADIOML_2016_CLASSES:
             assert mod in SYNTHETIC_MODULATIONS, mod
 
     def test_constellation_sizes(self):
@@ -55,6 +65,27 @@ class TestGenerateFrames:
         # phase steps bounded by ~pi/2 per sample (1 sample/bit, h=0.5)
         dphi = np.angle(sig[:, 1:] * np.conj(sig[:, :-1]))
         assert np.abs(dphi).max() <= 0.5 * np.pi + 1e-6
+
+    def test_cpfsk_full_response_phase_steps(self):
+        """CPFSK (rect frequency pulse, h=0.5) at 1 sample/bit: every phase
+        step sits exactly at 0 or pi/2 — the full-response signature that a
+        partial-response Gaussian pulse (GFSK/GMSK) destroys."""
+        sig = generate_frames("CPFSK", 8, 256, np.random.default_rng(10))
+        np.testing.assert_allclose(np.abs(sig), 1.0, atol=1e-9)
+        dphi = np.abs(np.angle(sig[:, 1:] * np.conj(sig[:, :-1])))
+        at_extremes = (dphi < 0.05) | (np.abs(dphi - np.pi / 2) < 0.05)
+        assert at_extremes.all()
+
+    def test_gfsk_partial_response_smoothing(self):
+        """GFSK's Gaussian ISI pushes a large fraction of phase steps off
+        the {0, pi/2} extremes (measured ~50%), distinguishing it from
+        CPFSK; envelope stays constant."""
+        sig = generate_frames("GFSK", 8, 256, np.random.default_rng(11))
+        np.testing.assert_allclose(np.abs(sig), 1.0, atol=1e-9)
+        dphi = np.abs(np.angle(sig[:, 1:] * np.conj(sig[:, :-1])))
+        at_extremes = (dphi < 0.05) | (np.abs(dphi - np.pi / 2) < 0.05)
+        assert 0.25 < at_extremes.mean() < 0.75
+        assert dphi.max() <= 0.5 * np.pi + 1e-6
 
     def test_fm_constant_envelope(self):
         sig = generate_frames("FM", 2, 256, np.random.default_rng(2))

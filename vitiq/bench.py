@@ -100,6 +100,16 @@ def rawiq_mp_config(numerics: str = "tpu") -> ModelConfig:
                        numerics=numerics)
 
 
+def vit_tiny_2016_config(numerics: str = "tpu") -> ModelConfig:
+    """BASELINE config 2: ViT-Tiny on RadioML 2016.10a-style data —
+    128-sample frames folded to [1, 16, 16] images, 11-class AMC
+    (d64/L4/H4, 17 tokens)."""
+    return ModelConfig(arm="vit", num_classes=11, d_model=64, n_head=4,
+                       n_layers=4, ffn_hidden=256, drop_prob=0.1,
+                       img_size_h=16, img_size_w=16, patch_size=4,
+                       seq_length=128, numerics=numerics)
+
+
 def flagship_conv1d_config(numerics: str = "tpu") -> ModelConfig:
     """rawIQ conv1d tokenization — 1025 tokens incl. CLS, the reference's
     long-sequence mode (ref: transformer_rawIQ/models/encoder.py:34-41)."""
@@ -119,6 +129,7 @@ ARM_CONFIGS = {
     "rawiq_best": rawiq_best_config,
     "rawiq_best_mp": rawiq_best_mp_config,
     "rawiq_conv1d": flagship_conv1d_config,
+    "vit_tiny": vit_tiny_2016_config,
 }
 
 
@@ -188,8 +199,10 @@ def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
         cfg = replace(cfg, n_head=n_head)
     params = init_amc_params(jax.random.PRNGKey(0), cfg)
     fwd = make_forward(cfg)
-    if arm == "vit":
-        pre = lambda x: preprocess_batch_vit(x, FLAGSHIP_STATS)
+    if cfg.arm == "vit":
+        pre = lambda x: preprocess_batch_vit(x, FLAGSHIP_STATS,
+                                             H=cfg.img_size_h,
+                                             W=cfg.img_size_w)
     else:
         pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
 
@@ -266,7 +279,9 @@ def bench_train_step(arm: str = "vit", batch_size: Optional[int] = None,
     tcfg = TrainConfig(batch_size=batch_size)
     params = init_amc_params(jax.random.PRNGKey(0), cfg)
     fwd = make_forward(cfg)
-    pre = (lambda x: preprocess_batch_vit(x, FLAGSHIP_STATS)) if arm == "vit" else (
+    pre = (lambda x: preprocess_batch_vit(
+        x, FLAGSHIP_STATS, H=cfg.img_size_h, W=cfg.img_size_w)
+    ) if cfg.arm == "vit" else (
         lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS))
     tx = make_optimizer(tcfg)
     state = create_train_state(params, tcfg)
@@ -559,6 +574,9 @@ def run_benchmarks(which: str = "fused_vit_infer", batch_size: Optional[int] = N
                                  data_parallel=data_parallel)
     if which == "rawiq_infer":
         return bench_fused_infer("rawiq", batch_size, steps, n_head=n_head)
+    if which == "vit_tiny_infer":
+        # BASELINE config 2: ViT-Tiny, 128-sample frames, 16x16 images
+        return bench_fused_infer("vit_tiny", batch_size, steps, n_head=n_head)
     if which == "rawiq64_infer":
         return bench_fused_infer("rawiq_seg64", batch_size, steps, n_head=n_head)
     if which == "rawiq64_mp_infer":

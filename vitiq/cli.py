@@ -345,7 +345,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("bench", help="Throughput / latency benchmarks")
     p.add_argument("--which", default="fused_vit_infer",
-                   choices=["fused_vit_infer", "rawiq_infer", "rawiq_mp_infer",
+                   choices=["fused_vit_infer", "vit_tiny_infer", "rawiq_infer", "rawiq_mp_infer",
                             "rawiq64_infer", "rawiq64_mp_infer", "rawiq_best_mp_infer",
                             "rawiq_best_infer", "conv1d_infer", "int8_infer",
                             "train_step", "head_variant", "dsp_frontend",

@@ -35,6 +35,15 @@ TARGET_MODULATIONS_24: Tuple[str, ...] = (
     "FM", "GMSK", "OQPSK",
 )
 
+# RadioML 2016.10a's 11-class task (BASELINE.json config 2), expressed in
+# this generator's class names: AM-DSB -> AM-DSB-WC, AM-SSB -> AM-SSB-WC,
+# PAM4 -> 4ASK (same 4-level line code), QAM16/QAM64 -> 16QAM/64QAM,
+# WBFM -> FM.
+RADIOML_2016_CLASSES: Tuple[str, ...] = (
+    "8PSK", "AM-DSB-WC", "AM-SSB-WC", "BPSK", "CPFSK", "GFSK", "4ASK",
+    "16QAM", "64QAM", "QPSK", "FM",
+)
+
 
 @dataclass
 class ModelConfig:
@@ -412,16 +421,17 @@ class ExperimentConfig:
     @classmethod
     def vit_tiny_2016(cls, **overrides) -> "ExperimentConfig":
         """ViT-Tiny for RadioML 2016.10a-style data (BASELINE.json config 2):
-        128-sample frames folded to [1, 16, 16] images, 11-class AMC. The
-        synthetic source covers the digital subset; point data at an HDF5
-        export for the real corpus."""
+        128-sample frames folded to [1, 16, 16] images, the full 11-class
+        2016.10a task (RADIOML_2016_CLASSES — the synthetic generator covers
+        all of it incl. CPFSK/GFSK/analog); point data at an HDF5 export for
+        the real corpus."""
         cfg = cls(
-            model=ModelConfig(arm="vit", num_classes=5, d_model=64, n_head=4,
+            model=ModelConfig(arm="vit", num_classes=11, d_model=64, n_head=4,
                               n_layers=4, ffn_hidden=256, drop_prob=0.1,
                               img_size_h=16, img_size_w=16, patch_size=4,
                               seq_length=128),
             data=DataConfig(source="synthetic",
-                            synthetic_classes=("BPSK", "QPSK", "8PSK", "16QAM", "64QAM"),
+                            synthetic_classes=RADIOML_2016_CLASSES,
                             synthetic_frame_len=128),
             train=TrainConfig(weight_decay=1e-4),
         )
