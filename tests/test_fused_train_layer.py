@@ -32,7 +32,8 @@ def test_forward_matches_xla_nodrop(Lx, n_head):
     {},  # defaults: PB=recompute, EPI=wide
     {"VITIQ_TRAIN_PB": "reuse"},
     {"VITIQ_TRAIN_EPI": "head"},
-], ids=["default", "pb_reuse", "epi_head"])
+    {"VITIQ_TRAIN_DW": "merged"},
+], ids=["default", "pb_reuse", "epi_head", "dw_merged"])
 @pytest.mark.parametrize("Lx,n_head", [(17, 4), (129, 8)])
 def test_gradients_match_autodiff_nodrop(Lx, n_head, knobs, monkeypatch):
     """dx and every weight gradient vs jax autodiff of the XLA layer —

@@ -385,6 +385,31 @@ def _bwd_kernel(
         def _():
             ref[:] = acc[:]
 
+    dw_merge = os.environ.get("VITIQ_TRAIN_DW", "batched") == "merged"
+
+    def dw_gemm(act, grad):
+        """Weight gradient act^T @ grad summed over the G block.
+
+        merged (VITIQ_TRAIN_DW=merged; default pending the on-chip A/B):
+        collapse the block to [G*Lp, .] and contract ONCE
+        — the 128-deep MXU pass pad on the token contraction amortizes
+        across the whole block instead of repeating per frame
+        (scripts/train_roofline.py: at seg-64/Lp=16 the four dW GEMMs are
+        68.5%% of ALL step passes and each pays an 8x K pad; merging lifts
+        the step ceiling 268K -> 669K fps). Identical math: same rows, f32
+        accumulation, just reassociated. VITIQ_TRAIN_DW=batched restores
+        the per-frame G-batched GEMM + sum.
+        """
+        if dw_merge:
+            a2 = act.reshape(g * lp, act.shape[-1])
+            g2 = grad.reshape(g * lp, grad.shape[-1])
+            return jax.lax.dot_general(
+                a2, g2, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return jnp.sum(jax.lax.dot_general(
+            act, grad, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32), axis=0)
+
     # ---------------- backward --------------------------------------------
     # LN2
     emit(dg2_ref, jnp.sum(dy * xh2, axis=(0, 1), keepdims=False)[None, :])
@@ -396,9 +421,7 @@ def _bwd_kernel(
 
     # FFN linear2
     dfb = df.astype(x.dtype)
-    emit(dw2_ref, jnp.sum(jax.lax.dot_general(
-        h, dfb, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32), axis=0))
+    emit(dw2_ref, dw_gemm(h, dfb))
     emit(db2_ref, jnp.sum(df, axis=(0, 1))[None, :])
     dhd = jax.lax.dot_general(
         dfb, w2_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
@@ -407,9 +430,7 @@ def _bwd_kernel(
     dpre = jnp.where(pre > 0.0, dh_, 0.0)
 
     dpreb = dpre.astype(x.dtype)
-    emit(dw1_ref, jnp.sum(jax.lax.dot_general(
-        x1, dpreb, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32), axis=0))
+    emit(dw1_ref, dw_gemm(x1, dpreb))
     emit(db1_ref, jnp.sum(dpre, axis=(0, 1))[None, :])
     dx1 = dx1 + jax.lax.dot_general(
         dpreb, w1_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
@@ -425,9 +446,7 @@ def _bwd_kernel(
 
     # output projection
     dab = da.astype(x.dtype)
-    emit(dwo_ref, jnp.sum(jax.lax.dot_general(
-        attn, dab, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32), axis=0))
+    emit(dwo_ref, dw_gemm(attn, dab))
     emit(dbo_ref, jnp.sum(da, axis=(0, 1))[None, :])
     dattn = jax.lax.dot_general(
         dab, wo_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
@@ -579,9 +598,7 @@ def _bwd_kernel(
         dqkv = jnp.where(rowq < seq_len, dqkv, 0.0)
 
     dqkvb = dqkv.astype(x.dtype)
-    emit(dwqkv_ref, jnp.sum(jax.lax.dot_general(
-        x, dqkvb, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32), axis=0))
+    emit(dwqkv_ref, dw_gemm(x, dqkvb))
     emit(dbqkv_ref, jnp.sum(dqkv, axis=(0, 1))[None, :])
     dx = dx + jax.lax.dot_general(
         dqkvb, wqkv_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
