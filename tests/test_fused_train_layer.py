@@ -33,7 +33,8 @@ def test_forward_matches_xla_nodrop(Lx, n_head):
     {"VITIQ_TRAIN_PB": "reuse"},
     {"VITIQ_TRAIN_EPI": "head"},
     {"VITIQ_TRAIN_DW": "merged"},
-], ids=["default", "pb_reuse", "epi_head", "dw_merged"])
+    {"VITIQ_TRAIN_DW": "batched"},
+], ids=["default", "pb_reuse", "epi_head", "dw_merged", "dw_batched"])
 @pytest.mark.parametrize("Lx,n_head", [(17, 4), (129, 8)])
 def test_gradients_match_autodiff_nodrop(Lx, n_head, knobs, monkeypatch):
     """dx and every weight gradient vs jax autodiff of the XLA layer —

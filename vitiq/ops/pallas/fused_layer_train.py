@@ -385,20 +385,26 @@ def _bwd_kernel(
         def _():
             ref[:] = acc[:]
 
-    dw_merge = os.environ.get("VITIQ_TRAIN_DW", "batched") == "merged"
+    _dw_env = os.environ.get("VITIQ_TRAIN_DW", "auto")
+    dw_merge = _dw_env == "merged" or (_dw_env == "auto" and lp <= 32)
 
     def dw_gemm(act, grad):
         """Weight gradient act^T @ grad summed over the G block.
 
-        merged (VITIQ_TRAIN_DW=merged; default pending the on-chip A/B):
-        collapse the block to [G*Lp, .] and contract ONCE
+        merged: collapse the block to [G*Lp, .] and contract ONCE
         — the 128-deep MXU pass pad on the token contraction amortizes
         across the whole block instead of repeating per frame
         (scripts/train_roofline.py: at seg-64/Lp=16 the four dW GEMMs are
         68.5%% of ALL step passes and each pays an 8x K pad; merging lifts
         the step ceiling 268K -> 669K fps). Identical math: same rows, f32
-        accumulation, just reassociated. VITIQ_TRAIN_DW=batched restores
-        the per-frame G-batched GEMM + sum.
+        accumulation, just reassociated.
+
+        Round-3m on-chip A/B (batch 2048): merged 47,382 vs batched 42,812
+        frames/s at seg-64 mean-pool (Lp=16, +10.7%); flagship (Lp=144)
+        13,908 vs 14,016 (-0.8%, within noise) — so the default is
+        geometry-aware: merged when Lp <= 32 (the small-Lp regime where
+        the K pad dominates), batched otherwise. VITIQ_TRAIN_DW=merged/
+        batched forces either.
         """
         if dw_merge:
             a2 = act.reshape(g * lp, act.shape[-1])
