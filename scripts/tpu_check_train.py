@@ -9,7 +9,10 @@ Checks, on real hardware (things interpret mode cannot verify):
   4. dropout gradient consistency: analytic directional derivative vs finite
      differences of the same-seed forward (proves the backward kernel
      regenerates the identical masks)
-Usage: python scripts/tpu_check_train.py [batch]
+Usage: python scripts/tpu_check_train.py [batch] [seq_len]
+seq_len defaults to 129 (flagship token count); pass 16 for the seg-64
+mean-pool geometry (Lp=16 — the small-Lp regime where merged-dW and the
+xpack train core are the interesting paths).
 """
 import pathlib
 import sys
@@ -31,11 +34,12 @@ from vitiq.ops.pallas.fused_layer_train import fused_train_layer_stack
 
 def main() -> int:
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    Lx = int(sys.argv[2]) if len(sys.argv) > 2 else 129
     n_head = 8
     params = L.encoder_layer_init(jax.random.PRNGKey(0), 128, 512)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((B, 129, 128)), jnp.bfloat16)
-    tgt = jnp.asarray(rng.standard_normal((B, 129, 128)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, Lx, 128)), jnp.bfloat16)
+    tgt = jnp.asarray(rng.standard_normal((B, Lx, 128)), jnp.float32)
 
     def xla_layer(params, x):
         return L.encoder_layer_apply(params, x, n_head=n_head, drop_prob=0.0,
@@ -120,7 +124,7 @@ def main() -> int:
     eps = 0.25
     loss_j = jax.jit(loss_drop)
     ok = 0
-    coords = [(0, 0, 5), (1, 7, 64), (3, 100, 17)]
+    coords = [(0, 0, 5), (1, 7, 64), (min(3, B - 1), min(100, Lx - 1), 17)]
     for c in coords:
         e = jnp.zeros_like(xf).at[c].set(eps)
         fd = (float(loss_j((xf + e).astype(jnp.bfloat16)))

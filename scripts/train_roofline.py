@@ -99,10 +99,11 @@ CONFIGS = [
      (144, 128, 8, 512, 6, 2, gemm(128, 32, 128)), 13_644),
     ("flagship H4", (144, 128, 4, 512, 6, 2, gemm(128, 32, 128)), 17_365),
     ("flagship H2", (144, 128, 2, 512, 6, 2, gemm(128, 32, 128)), 20_106),
+    # 47,382 = round-3m merged-dW default (batched measured 42,812)
     ("seg-64 MEAN-POOL (Lp16, ffn1024, G=16)",
-     (16, 128, 8, 1024, 6, 16, gemm(16, 128, 128)), 40_656),
+     (16, 128, 8, 1024, 6, 16, gemm(16, 128, 128)), 47_382),
     ("rawIQ seg-16 CLS (Lp80, ffn1024, G=4)",
-     (80, 128, 8, 1024, 6, 4, gemm(64, 32, 128)), None),
+     (80, 128, 8, 1024, 6, 4, gemm(64, 32, 128)), 21_083),
 ]
 
 
