@@ -116,19 +116,23 @@ def main() -> int:
         y = fused_train_layer_stack(x, [params], n_head, 0.25, 21)
         return jnp.sum((y.astype(jnp.float32) - tgt) ** 2)
 
-    # single-coordinate finite differences with a bf16-resolvable step: a
+    # single-coordinate finite differences with a resolvable step: a
     # distributed direction vector perturbs each element by ~1e-4, which
-    # vanishes in bf16 rounding of x (measured: analytic ~0 vs FD noise)
+    # vanishes in bf16 rounding of x (measured: analytic ~0 vs FD noise).
+    # The FD pass runs the kernel in f32: its purpose is to prove the bwd
+    # kernel REGENERATES the fwd's hardware masks, and bf16 FD is too noisy
+    # for that at small L (measured interpret-mode bisect: bf16 rel err
+    # 0.13-1.05 at L=16 while f32 is 0.03-0.05 with the SAME masks —
+    # the bf16 failures are rounding, not inconsistency).
     xf = x.astype(jnp.float32)
-    g = jax.jit(jax.grad(lambda x32: loss_drop(x32.astype(jnp.bfloat16))))(xf)
+    g = jax.jit(jax.grad(loss_drop))(xf)
     eps = 0.25
     loss_j = jax.jit(loss_drop)
     ok = 0
     coords = [(0, 0, 5), (1, 7, 64), (min(3, B - 1), min(100, Lx - 1), 17)]
     for c in coords:
         e = jnp.zeros_like(xf).at[c].set(eps)
-        fd = (float(loss_j((xf + e).astype(jnp.bfloat16)))
-              - float(loss_j((xf - e).astype(jnp.bfloat16)))) / (2 * eps)
+        fd = (float(loss_j(xf + e)) - float(loss_j(xf - e))) / (2 * eps)
         an = float(g[c])
         rel = abs(an - fd) / max(abs(fd), abs(an), 1e-6)
         print(f"dropout grad @ {c}: analytic {an:.5f} vs FD {fd:.5f} "
