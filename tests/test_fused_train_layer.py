@@ -261,3 +261,17 @@ class TestLongSequenceEligibility:
         for a, b in zip(jax.tree_util.tree_leaves(g0),
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pick_g_measured_defaults(monkeypatch):
+    """Lock the on-chip-measured block-size defaults (docs/BENCHMARKS.md
+    rounds 3o/3p): Lp<=16 gets the extended ladder capped at G=24 (G=32's
+    real VMEM footprint is batch-sensitive — compiled @2048, OOMed @8192;
+    G=48 hard-OOMs), larger Lp keeps the conservative ladder."""
+    monkeypatch.delenv("VITIQ_TRAIN_G", raising=False)
+    from vitiq.ops.pallas.fused_layer_train import _pick_g
+    assert _pick_g(16, 128, 1024, 2) == 24   # seg-64 mean-pool
+    assert _pick_g(32, 128, 1024, 2) == 8    # seg-64 CLS — unextended
+    assert _pick_g(144, 128, 512, 2) == 2    # flagship ViT
+    monkeypatch.setenv("VITIQ_TRAIN_G", "7")
+    assert _pick_g(16, 128, 1024, 2) == 7    # env override wins

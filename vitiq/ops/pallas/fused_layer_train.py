@@ -373,6 +373,16 @@ def _bwd_kernel(
     def emit(ref, val):
         acc = _scratch[id(ref)]
 
+        if probe == "noacc":
+            # TIMING-ONLY: write once at the last step, no cross-step
+            # read-add-write (val is still computed every step)
+            @pl.when(last)
+            def _():
+                acc[:] = val
+                ref[:] = acc[:]
+
+            return
+
         @pl.when(first)
         def _():
             acc[:] = val
@@ -387,6 +397,18 @@ def _bwd_kernel(
 
     _dw_env = os.environ.get("VITIQ_TRAIN_DW", "auto")
     dw_merge = _dw_env == "merged" or (_dw_env == "auto" and lp <= 32)
+
+    # TIMING-ONLY surgery probes (wrong outputs; VITIQ_TRAIN_PROBE) — the
+    # train-path analogue of serving's VITIQ_V3_PROBE, for attributing the
+    # backward's execution wall (docs/BENCHMARKS.md round 3o: small-Lp
+    # training runs at ~7% of its pass ceiling):
+    #   fwdonly   — recompute only; dx := dy, grads zero-filled once
+    #               (bounds the recompute share of the backward)
+    #   noattnbwd — skip the per-head attention backward chains
+    #   nodw      — zeros instead of the four dW GEMMs (bias sums stay)
+    #   noacc     — grads written only at the last grid step (skips the
+    #               cross-step read-add-write accumulator traffic)
+    probe = os.environ.get("VITIQ_TRAIN_PROBE") or None
 
     def dw_gemm(act, grad):
         """Weight gradient act^T @ grad summed over the G block.
@@ -406,6 +428,9 @@ def _bwd_kernel(
         the K pad dominates), batched otherwise. VITIQ_TRAIN_DW=merged/
         batched forces either.
         """
+        if probe == "nodw":
+            # TIMING-ONLY: bound the dW GEMM cost
+            return jnp.zeros((act.shape[-1], grad.shape[-1]), jnp.float32)
         if dw_merge:
             a2 = act.reshape(g * lp, act.shape[-1])
             g2 = grad.reshape(g * lp, grad.shape[-1])
@@ -415,6 +440,18 @@ def _bwd_kernel(
         return jnp.sum(jax.lax.dot_general(
             act, grad, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32), axis=0)
+
+    if probe == "fwdonly":
+        # TIMING-ONLY: the recompute ran; skip the whole backward (zero
+        # grads, dx := dy) to bound the recompute's share of this kernel
+        for ref in (dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg1_ref,
+                    dbe1_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                    dg2_ref, dbe2_ref):
+            emit(ref, jnp.zeros(_scratch[id(ref)].shape, jnp.float32))
+        # xh2 transitively depends on the ENTIRE recompute chain — adding it
+        # keeps the recompute alive against dead-code elimination
+        dx_ref[:] = (dy + xh2).astype(dx_ref.dtype)
+        return
 
     # ---------------- backward --------------------------------------------
     # LN2
@@ -458,147 +495,160 @@ def _bwd_kernel(
         dab, wo_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(x.dtype)
 
-    # attention backward, per head, tiled over keys (tail keys beyond the
-    # last full 128-wide tile handled as rank-1 VPU terms, as in forward)
-    mxu_k, n_tail = _key_split(lp, seq_len)
-    dq_heads, dk_heads, dv_heads = [], [], []
-    for hd_i in range(n_head):
-        qs, k, v, denom, out, probs_tiles = heads[hd_i]
-        dout = dattn[:, :, hd_i * dh:(hd_i + 1) * dh].astype(jnp.float32)
-        # flash identity: sum_j dp_ij p_ij = dout_i . out_i
-        drow = jnp.sum(dout * out, axis=-1, keepdims=True)
-        rcp = (1.0 / denom) if probs_tiles is not None else None
-        dq_acc = None
-        dk_cols = []
-        dv_cols = []
-        for c0 in range(0, mxu_k, 128):
-            t = min(128, mxu_k - c0)
-            if probs_tiles is not None:
-                # VITIQ_TRAIN_PB=reuse: normalize the recompute's cached
-                # probability tile instead of re-running score matmul + exp
-                pbar = (probs_tiles[c0 // 128].astype(jnp.float32)
-                        * rcp).astype(x.dtype)
-            else:
-                scores = jax.lax.dot_general(
-                    qs, k[:, c0:c0 + t, :],
+    # attention backward, per head, tiled over keys — wrapped in a
+    # closure so the VITIQ_TRAIN_PROBE=noattnbwd timing probe can omit
+    # it entirely (relying on Mosaic DCE for unused traced ops is not
+    # safe)
+    def _attention_bwd():
+        # attention backward, per head, tiled over keys (tail keys beyond the
+        # last full 128-wide tile handled as rank-1 VPU terms, as in forward)
+        mxu_k, n_tail = _key_split(lp, seq_len)
+        dq_heads, dk_heads, dv_heads = [], [], []
+        for hd_i in range(n_head):
+            qs, k, v, denom, out, probs_tiles = heads[hd_i]
+            dout = dattn[:, :, hd_i * dh:(hd_i + 1) * dh].astype(jnp.float32)
+            # flash identity: sum_j dp_ij p_ij = dout_i . out_i
+            drow = jnp.sum(dout * out, axis=-1, keepdims=True)
+            rcp = (1.0 / denom) if probs_tiles is not None else None
+            dq_acc = None
+            dk_cols = []
+            dv_cols = []
+            for c0 in range(0, mxu_k, 128):
+                t = min(128, mxu_k - c0)
+                if probs_tiles is not None:
+                    # VITIQ_TRAIN_PB=reuse: normalize the recompute's cached
+                    # probability tile instead of re-running score matmul + exp
+                    pbar = (probs_tiles[c0 // 128].astype(jnp.float32)
+                            * rcp).astype(x.dtype)
+                else:
+                    scores = jax.lax.dot_general(
+                        qs, k[:, c0:c0 + t, :],
+                        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
+                    pbar = (jnp.exp2(scores) / denom).astype(x.dtype)  # [G, Lq, t]
+                # dV[kt] = pbar^T dout ; ddenom folds via the drow term
+                dv_cols.append(jax.lax.dot_general(
+                    pbar, dout.astype(x.dtype),
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ))  # [G, t, dh]
+                dp = jax.lax.dot_general(
+                    dout.astype(x.dtype), v[:, c0:c0 + t, :],
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                )
-                pbar = (jnp.exp2(scores) / denom).astype(x.dtype)  # [G, Lq, t]
-            # dV[kt] = pbar^T dout ; ddenom folds via the drow term
-            dv_cols.append(jax.lax.dot_general(
-                pbar, dout.astype(x.dtype),
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ))  # [G, t, dh]
-            dp = jax.lax.dot_general(
-                dout.astype(x.dtype), v[:, c0:c0 + t, :],
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [G, Lq, t]
-            ds = (pbar.astype(jnp.float32) * (dp - drow)).astype(x.dtype)
-            dq_part = jax.lax.dot_general(
-                ds, k[:, c0:c0 + t, :],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [G, Lq, dh]
-            dq_acc = dq_part if dq_acc is None else dq_acc + dq_part
-            dk_cols.append(jax.lax.dot_general(
-                ds, qs, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ))  # [G, t, dh]
-        # ds was d(base-2 exponent); dq/dk w.r.t. unscaled q,k carry
-        # ln2 * scale2 = 1/sqrt(dh); qs already includes scale2, so dk needs
-        # ln2 only (ds @ qs = ln2^-1 ... ): dq = ln2*scale2 * (ds k) on raw k;
-        # dk = ln2 * (ds^T qs) = ln2 * scale2 * (ds^T q_raw) — both reduce to
-        # plain_scale against the raw q/k.
-        dq_heads.append(dq_acc * (_LN2 * scale2))
-        dk_heads.append(jnp.concatenate(dk_cols, axis=1) * _LN2)  # qs carries scale2
-        dv_heads.append(jnp.concatenate(dv_cols, axis=1))
+                )  # [G, Lq, t]
+                ds = (pbar.astype(jnp.float32) * (dp - drow)).astype(x.dtype)
+                dq_part = jax.lax.dot_general(
+                    ds, k[:, c0:c0 + t, :],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [G, Lq, dh]
+                dq_acc = dq_part if dq_acc is None else dq_acc + dq_part
+                dk_cols.append(jax.lax.dot_general(
+                    ds, qs, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ))  # [G, t, dh]
+            # ds was d(base-2 exponent); dq/dk w.r.t. unscaled q,k carry
+            # ln2 * scale2 = 1/sqrt(dh); qs already includes scale2, so dk needs
+            # ln2 only (ds @ qs = ln2^-1 ... ): dq = ln2*scale2 * (ds k) on raw k;
+            # dk = ln2 * (ds^T qs) = ln2 * scale2 * (ds^T q_raw) — both reduce to
+            # plain_scale against the raw q/k.
+            dq_heads.append(dq_acc * (_LN2 * scale2))
+            dk_heads.append(jnp.concatenate(dk_cols, axis=1) * _LN2)  # qs carries scale2
+            dv_heads.append(jnp.concatenate(dv_cols, axis=1))
 
-    if n_tail:
-        # Packed cross-head tail gradients — same layout rules as the fwd
-        # tail (wide ops + constant-matrix MXU contractions only; Mosaic
-        # rejects sublane broadcasts of single rows and narrow per-head VPU
-        # ops are catastrophically slow). Definitions per tail key j:
-        #   pbar_jh = exp2(s_jh) / denom_h          dp_jh = dout_h . v_h(j)
-        #   ds_jh  = pbar_jh (dp_jh - drow_h)
-        #   dq_h  += ds_jh k_h(j)                   (x LN2*scale2, raw-k basis)
-        #   dk_h(j) = sum_i ds_ijh qs_ih            (x LN2)
-        #   dv_h(j) = sum_i pbar_ijh dout_ih
-        # The query-dim reductions AND the tail-row placement fuse into one
-        # one-hot matmul: sel[r, i] = (r == j) -> sel @ A = row j holds
-        # sum_i A[i], other rows 0.
-        li = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 0)
-        hi = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 1)
-        blk = (li // dh == hi).astype(x.dtype)  # [D, H] block-diag ones
-        ones_col = jnp.ones((g, lp, 1), x.dtype)
+        if n_tail:
+            # Packed cross-head tail gradients — same layout rules as the fwd
+            # tail (wide ops + constant-matrix MXU contractions only; Mosaic
+            # rejects sublane broadcasts of single rows and narrow per-head VPU
+            # ops are catastrophically slow). Definitions per tail key j:
+            #   pbar_jh = exp2(s_jh) / denom_h          dp_jh = dout_h . v_h(j)
+            #   ds_jh  = pbar_jh (dp_jh - drow_h)
+            #   dq_h  += ds_jh k_h(j)                   (x LN2*scale2, raw-k basis)
+            #   dk_h(j) = sum_i ds_ijh qs_ih            (x LN2)
+            #   dv_h(j) = sum_i pbar_ijh dout_ih
+            # The query-dim reductions AND the tail-row placement fuse into one
+            # one-hot matmul: sel[r, i] = (r == j) -> sel @ A = row j holds
+            # sum_i A[i], other rows 0.
+            li = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 0)
+            hi = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 1)
+            blk = (li // dh == hi).astype(x.dtype)  # [D, H] block-diag ones
+            ones_col = jnp.ones((g, lp, 1), x.dtype)
 
-        def expand_row(rowvec):  # [G, 1, D] -> [G, Lp, D] (f32) via K=1 MXU
-            return jax.lax.dot_general(
-                ones_col, rowvec,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+            def expand_row(rowvec):  # [G, 1, D] -> [G, Lp, D] (f32) via K=1 MXU
+                return jax.lax.dot_general(
+                    ones_col, rowvec,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
 
-        def reduce_to_row(a_bf16, j):  # [G, Lp, D] -> [G, tail_rows, D]
-            sel = (jax.lax.broadcasted_iota(
-                jnp.int32, (g, lp - mxu_k, lp), 1) == j).astype(x.dtype)
-            return jax.lax.dot_general(
-                sel, a_bf16, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+            def reduce_to_row(a_bf16, j):  # [G, Lp, D] -> [G, tail_rows, D]
+                sel = (jax.lax.broadcasted_iota(
+                    jnp.int32, (g, lp - mxu_k, lp), 1) == j).astype(x.dtype)
+                return jax.lax.dot_general(
+                    sel, a_bf16, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
 
-        # denominator of head h at column h: gather the per-head denom lanes
-        # (lane h*2dh + dh of the concatenated accs) with a selection matmul
-        acc_all = jnp.concatenate([hd[3] for hd in heads], axis=-1)  # [G,Lq,H] f32
-        denom_cat = acc_all  # heads[h][3] is [G, Lq, 1] -> concat IS [G,Lq,H]
-        qs_all = (qkv[:, :, :d].astype(jnp.float32) * scale2).astype(x.dtype)
-        dattn32 = dattn.astype(jnp.float32)
-        attn32 = attn.astype(jnp.float32)
-        drow_cat = jax.lax.dot_general(
-            (dattn32 * attn32).astype(x.dtype), blk,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [G, Lq, H]
-
-        dq_all = jnp.concatenate(dq_heads, axis=-1)  # [G, Lq, D]
-        dk_tail_acc = None
-        dv_tail_acc = None
-        for j in range(n_tail):
-            r = mxu_k + j
-            k_row = qkv[:, r:r + 1, d:2 * d]
-            v_row = qkv[:, r:r + 1, 2 * d:3 * d]
-            k_exp = expand_row(k_row)  # [G, Lp, D] f32
-            prod = qs_all * k_exp.astype(x.dtype)
-            s_all = jax.lax.dot_general(
-                prod, blk, dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [G, Lq, H]
-            pbar_all = jnp.exp2(s_all) / denom_cat
-            dp_all = jax.lax.dot_general(
-                (dattn32 * expand_row(v_row)).astype(x.dtype), blk,
+            # denominator of head h at column h: gather the per-head denom lanes
+            # (lane h*2dh + dh of the concatenated accs) with a selection matmul
+            acc_all = jnp.concatenate([hd[3] for hd in heads], axis=-1)  # [G,Lq,H] f32
+            denom_cat = acc_all  # heads[h][3] is [G, Lq, 1] -> concat IS [G,Lq,H]
+            qs_all = (qkv[:, :, :d].astype(jnp.float32) * scale2).astype(x.dtype)
+            dattn32 = dattn.astype(jnp.float32)
+            attn32 = attn.astype(jnp.float32)
+            drow_cat = jax.lax.dot_general(
+                (dattn32 * attn32).astype(x.dtype), blk,
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [G, Lq, H]
-            ds_all = pbar_all * (dp_all - drow_cat)
-            ds_exp = jax.lax.dot_general(
-                ds_all.astype(x.dtype), blk,
-                dimension_numbers=(((2,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [G, Lq, D]
-            dq_all = dq_all + (ds_exp * k_exp) * (_LN2 * scale2)
-            pbar_exp = jax.lax.dot_general(
-                pbar_all.astype(x.dtype), blk,
-                dimension_numbers=(((2,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [G, Lq, D]
-            dk_t = reduce_to_row(
-                (ds_exp * qs_all.astype(jnp.float32)).astype(x.dtype), j)
-            dv_t = reduce_to_row((pbar_exp * dattn32).astype(x.dtype), j)
-            dk_tail_acc = dk_t if dk_tail_acc is None else dk_tail_acc + dk_t
-            dv_tail_acc = dv_t if dv_tail_acc is None else dv_tail_acc + dv_t
 
-        dk_all = jnp.concatenate(
-            [jnp.concatenate(dk_heads, axis=-1), dk_tail_acc * _LN2], axis=1)
-        dv_all = jnp.concatenate(
-            [jnp.concatenate(dv_heads, axis=-1), dv_tail_acc], axis=1)
-        dqkv = jnp.concatenate([dq_all, dk_all, dv_all], axis=-1)
+            dq_all = jnp.concatenate(dq_heads, axis=-1)  # [G, Lq, D]
+            dk_tail_acc = None
+            dv_tail_acc = None
+            for j in range(n_tail):
+                r = mxu_k + j
+                k_row = qkv[:, r:r + 1, d:2 * d]
+                v_row = qkv[:, r:r + 1, 2 * d:3 * d]
+                k_exp = expand_row(k_row)  # [G, Lp, D] f32
+                prod = qs_all * k_exp.astype(x.dtype)
+                s_all = jax.lax.dot_general(
+                    prod, blk, dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [G, Lq, H]
+                pbar_all = jnp.exp2(s_all) / denom_cat
+                dp_all = jax.lax.dot_general(
+                    (dattn32 * expand_row(v_row)).astype(x.dtype), blk,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [G, Lq, H]
+                ds_all = pbar_all * (dp_all - drow_cat)
+                ds_exp = jax.lax.dot_general(
+                    ds_all.astype(x.dtype), blk,
+                    dimension_numbers=(((2,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [G, Lq, D]
+                dq_all = dq_all + (ds_exp * k_exp) * (_LN2 * scale2)
+                pbar_exp = jax.lax.dot_general(
+                    pbar_all.astype(x.dtype), blk,
+                    dimension_numbers=(((2,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [G, Lq, D]
+                dk_t = reduce_to_row(
+                    (ds_exp * qs_all.astype(jnp.float32)).astype(x.dtype), j)
+                dv_t = reduce_to_row((pbar_exp * dattn32).astype(x.dtype), j)
+                dk_tail_acc = dk_t if dk_tail_acc is None else dk_tail_acc + dk_t
+                dv_tail_acc = dv_t if dv_tail_acc is None else dv_tail_acc + dv_t
+
+            dk_all = jnp.concatenate(
+                [jnp.concatenate(dk_heads, axis=-1), dk_tail_acc * _LN2], axis=1)
+            dv_all = jnp.concatenate(
+                [jnp.concatenate(dv_heads, axis=-1), dv_tail_acc], axis=1)
+            dqkv = jnp.concatenate([dq_all, dk_all, dv_all], axis=-1)
+        else:
+            dqkv = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=-1)
+        return dqkv
+
+    if probe == "noattnbwd":
+        # TIMING-ONLY (wrong outputs): skip the per-head attention
+        # backward chains; dqkv stands in with matching shape/dtype
+        dqkv = jnp.concatenate([dattn.astype(jnp.float32)] * 3, axis=-1)
     else:
-        dqkv = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=-1)
+        dqkv = _attention_bwd()
     if seq_len < lp:
         rowq = jax.lax.broadcasted_iota(jnp.int32, (g, lp, 3 * d), dimension=1)
         dqkv = jnp.where(rowq < seq_len, dqkv, 0.0)
@@ -653,15 +703,17 @@ def _pick_g(Lp: int, D: int, H: int, itemsize: int) -> int:
     if g_env:
         return g_env
     if Lp <= 16:
-        # Round-3o measured ladder at seg-64 mean-pool (Lp=16, batch 2048):
-        # G=16 47.4K / G=24 50.5K / G=32 51.5K frames/s; G=48 is a hard
-        # scoped-VMEM compile OOM (22.83 MB real vs the 16.00 MB limit —
-        # the estimate under-predicts real by ~1.38x at this geometry, so
-        # the extended budget 11.5 MB ~= 15.9 MB real). Extension is gated
-        # to the MEASURED Lp<=16 regime: at Lp=32 G=16 the same budget
-        # would land ~15.4 MB real, unmeasured — keep the conservative
-        # ladder there until a chip run certifies it.
-        for g in (32, 24, 16, 8, 4, 2, 1):
+        # Round-3o/3p measured ladder at seg-64 mean-pool (Lp=16):
+        # @2048 G=16 47.4K / G=24 50.5K / G=32 51.5K frames/s; G=48 is a
+        # hard scoped-VMEM compile OOM (22.83 MB vs the 16.00 MB limit).
+        # G=32's REAL footprint is also batch-sensitive: it compiled at
+        # batch 2048 (~15.2 MB) but OOMed at batch 8192 (16.33 MB) — the
+        # double-buffered in/out blocks scale with grid length headroom.
+        # G=24 (~12.5 MB real, within noise of G=32's throughput) is the
+        # robust pick. Extension gated to the MEASURED Lp<=16 regime:
+        # at Lp=32 the same ladder is unmeasured — keep the conservative
+        # one there until a chip run certifies it.
+        for g in (24, 16, 8, 4, 2, 1):
             if _train_vmem_estimate(g, Lp, D, H, itemsize) <= 11_796_480:
                 return g
         return 1
