@@ -13,6 +13,7 @@ compiles), and report p50 over repeated timed windows.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Dict, Optional
 
@@ -294,16 +295,38 @@ def bench_train_step(arm: str = "vit", batch_size: Optional[int] = None,
 
     # donated state threads through the loop; fetching the loss scalar to the
     # host forces true completion (block_until_ready alone was observed to
-    # under-report through remote-dispatch transports)
+    # under-report through remote-dispatch transports).
+    #
+    # Timing uses the SAME async-queue amortization as the serving benches
+    # (_time_amortized): enqueue `inner` dependent step dispatches, fetch ONE
+    # loss scalar at the end to drain the device FIFO. The original per-call
+    # loop fetched the loss EVERY step, which charges a full host<->relay
+    # round trip to each step — round-3w measured that tax at ~30 ms/step on
+    # the axon transport (seg-64 mp @ 8192: 82.8 ms per-call vs ~53 ms
+    # amortized), so per-call numbers measured the tunnel, not the chip.
+    # VITIQ_TRAIN_TIMING=percall restores the old loop for A/Bs.
     state, m = step(state, x, y, rng)  # compile + donate once
     float(m["loss"])
-    times = []
-    for _ in range(steps):
-        t0 = time.perf_counter()
-        state, metrics = step(state, x, y, rng)
-        float(metrics["loss"])
-        times.append(time.perf_counter() - t0)
-    p50 = float(np.median(times))
+    if os.environ.get("VITIQ_TRAIN_TIMING", "amortized") == "percall":
+        times = []
+        for _ in range(steps):
+            t0 = time.perf_counter()
+            state, metrics = step(state, x, y, rng)
+            float(metrics["loss"])
+            times.append(time.perf_counter() - t0)
+        p50 = float(np.median(times))
+    else:
+        inner = max(min(steps, 10), 1)
+        outer = max(steps // inner, 3)
+        times = []
+        for _ in range(outer):
+            t0 = time.perf_counter()
+            metrics = None
+            for _i in range(inner):
+                state, metrics = step(state, x, y, rng)
+            float(metrics["loss"])  # drains the device queue
+            times.append((time.perf_counter() - t0) / inner)
+        p50 = float(np.median(times))
     return {
         "metric": f"train_frames_per_sec_per_chip_{arm}",
         "value": batch_size / p50,

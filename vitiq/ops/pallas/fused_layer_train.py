@@ -258,6 +258,12 @@ def _fwd_kernel(
     scale2 = _LOG2E / ((d // n_head) ** 0.5)
     x = x_ref[:]
 
+    if os.environ.get("VITIQ_TRAIN_PROBE") == "kernoff":
+        # TIMING-ONLY (wrong outputs): the layer reduces to a copy so the
+        # step measurement bounds the out-of-kernel cost
+        y_ref[:] = x
+        return
+
     qkv = jax.lax.dot_general(
         x, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -319,49 +325,23 @@ def _bwd_kernel(
     x = x_ref[:]
     dy = dy_ref[:].astype(jnp.float32)
 
-    # ---------------- recompute forward (same PRNG call order) -------------
-    qkv = jax.lax.dot_general(
-        x, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[:]
-    qkv = qkv.astype(x.dtype)
-
-    attn, heads = _attention_fwd(qkv, n_head, seq_len, scale2, x.dtype,
-                                 want_residuals=True)
-
-    a = jax.lax.dot_general(
-        attn, wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bo_ref[:]
-    if drop > 0.0:
-        # prng_seed supports at most 2 seed words (Mosaic: 'Setting seed
-        # with more than 2 values is not supported') — fold the layer
-        # index into the first word
-        pltpu.prng_seed(seed_ref[0] + np.int32((layer_idx * 0x1E3779B9) & 0x7FFFFFFF),
-                        pl.program_id(0))
-        m1 = _dropout_mask(a.shape, drop)
-        a = a * m1
-    z1 = a + x.astype(jnp.float32)
-    x1, xh1, r1 = _ln_fwd(z1, g1_ref[:], be1_ref[:], x.dtype)
-
-    pre = jax.lax.dot_general(
-        x1, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[:]
-    h = jnp.maximum(pre, 0.0)
-    if drop > 0.0:
-        m2 = _dropout_mask(h.shape, drop)
-        h = h * m2
-    h = h.astype(x.dtype)
-    f = jax.lax.dot_general(
-        h, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b2_ref[:]
-    if drop > 0.0:
-        m3 = _dropout_mask(f.shape, drop)
-        f = f * m3
-    z2 = f + x1.astype(jnp.float32)
-    _, xh2, r2 = _ln_fwd(z2, g2_ref[:], be2_ref[:], x.dtype)
+    # TIMING-ONLY surgery probes (wrong outputs; VITIQ_TRAIN_PROBE) — the
+    # train-path analogue of serving's VITIQ_V3_PROBE, for attributing the
+    # backward's execution wall (docs/BENCHMARKS.md rounds 3o/3t: small-Lp
+    # training runs at ~7% of its pass ceiling):
+    #   fwdonly   — recompute only; dx := dy, grads zero-filled once
+    #               (bounds the recompute share of the backward)
+    #   noattnbwd — skip the per-head attention backward chains
+    #   nodw      — zeros instead of the four dW GEMMs (bias sums stay)
+    #   noacc     — grads written only at the last grid step (skips the
+    #               cross-step read-add-write accumulator traffic)
+    #   norecomp  — skip the recompute; full backward chain runs on
+    #               shape-correct stand-ins derived from x (bounds the
+    #               recompute cost from the other side)
+    #   kernoff   — both kernels reduce to copies + one zero grad emit;
+    #               bounds the OUT-of-kernel step cost (embed, head, loss,
+    #               AdamW, launches, padding)
+    probe = os.environ.get("VITIQ_TRAIN_PROBE") or None
 
     first = pl.program_id(0) == 0
     last = pl.program_id(0) == pl.num_programs(0) - 1
@@ -395,20 +375,89 @@ def _bwd_kernel(
         def _():
             ref[:] = acc[:]
 
+    if probe == "kernoff":
+        for ref in (dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg1_ref,
+                    dbe1_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                    dg2_ref, dbe2_ref):
+            emit(ref, jnp.zeros(_scratch[id(ref)].shape, jnp.float32))
+        dx_ref[:] = dy.astype(dx_ref.dtype)
+        return
+
+    if probe == "norecomp":
+        # TIMING-ONLY (wrong outputs): fabricate every recompute product
+        # from x — data-dependent, so neither Mosaic nor XLA can fold the
+        # downstream backward away — and run the full backward chain.
+        x32 = x.astype(jnp.float32)
+        reps = (hwidth + d - 1) // d
+        wide32 = jnp.concatenate([x32] * reps, axis=-1)[:, :, :hwidth]
+        qkv = jnp.concatenate([x, x, x], axis=-1)
+        attn = x
+        pos_col = jnp.abs(x32[:, :, :1]) + 1.0
+        heads = []
+        for hh in range(n_head):
+            sl = x[:, :, hh * dh:(hh + 1) * dh]
+            heads.append((sl, sl, sl, pos_col + 1.0,
+                          sl.astype(jnp.float32), None))
+        m1 = m2 = m3 = jnp.float32(1.0)
+        x1 = x
+        xh1 = x32
+        r1 = pos_col
+        pre = wide32
+        h = jnp.maximum(wide32, 0.0).astype(x.dtype)
+        xh2 = x32
+        r2 = pos_col
+        _run_recompute = False
+    else:
+        _run_recompute = True
+
+    if _run_recompute:
+        # ------------- recompute forward (same PRNG call order) -----------
+        qkv = jax.lax.dot_general(
+            x, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv_ref[:]
+        qkv = qkv.astype(x.dtype)
+
+        attn, heads = _attention_fwd(qkv, n_head, seq_len, scale2, x.dtype,
+                                     want_residuals=True)
+
+        a = jax.lax.dot_general(
+            attn, wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[:]
+        if drop > 0.0:
+            # prng_seed supports at most 2 seed words (Mosaic: 'Setting seed
+            # with more than 2 values is not supported') — fold the layer
+            # index into the first word
+            pltpu.prng_seed(
+                seed_ref[0] + np.int32((layer_idx * 0x1E3779B9) & 0x7FFFFFFF),
+                pl.program_id(0))
+            m1 = _dropout_mask(a.shape, drop)
+            a = a * m1
+        z1 = a + x.astype(jnp.float32)
+        x1, xh1, r1 = _ln_fwd(z1, g1_ref[:], be1_ref[:], x.dtype)
+
+        pre = jax.lax.dot_general(
+            x1, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[:]
+        h = jnp.maximum(pre, 0.0)
+        if drop > 0.0:
+            m2 = _dropout_mask(h.shape, drop)
+            h = h * m2
+        h = h.astype(x.dtype)
+        f = jax.lax.dot_general(
+            h, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[:]
+        if drop > 0.0:
+            m3 = _dropout_mask(f.shape, drop)
+            f = f * m3
+        z2 = f + x1.astype(jnp.float32)
+        _, xh2, r2 = _ln_fwd(z2, g2_ref[:], be2_ref[:], x.dtype)
+
     _dw_env = os.environ.get("VITIQ_TRAIN_DW", "auto")
     dw_merge = _dw_env == "merged" or (_dw_env == "auto" and lp <= 32)
-
-    # TIMING-ONLY surgery probes (wrong outputs; VITIQ_TRAIN_PROBE) — the
-    # train-path analogue of serving's VITIQ_V3_PROBE, for attributing the
-    # backward's execution wall (docs/BENCHMARKS.md round 3o: small-Lp
-    # training runs at ~7% of its pass ceiling):
-    #   fwdonly   — recompute only; dx := dy, grads zero-filled once
-    #               (bounds the recompute share of the backward)
-    #   noattnbwd — skip the per-head attention backward chains
-    #   nodw      — zeros instead of the four dW GEMMs (bias sums stay)
-    #   noacc     — grads written only at the last grid step (skips the
-    #               cross-step read-add-write accumulator traffic)
-    probe = os.environ.get("VITIQ_TRAIN_PROBE") or None
 
     def dw_gemm(act, grad):
         """Weight gradient act^T @ grad summed over the G block.
