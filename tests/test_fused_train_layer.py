@@ -34,7 +34,13 @@ def test_forward_matches_xla_nodrop(Lx, n_head):
     {"VITIQ_TRAIN_EPI": "head"},
     {"VITIQ_TRAIN_DW": "merged"},
     {"VITIQ_TRAIN_DW": "batched"},
-], ids=["default", "pb_reuse", "epi_head", "dw_merged", "dw_batched"])
+    # stash fwd/bwd pair: fwd emits [attn|xh1|xh2|pbar]+[r1|r2], bwd skips
+    # the attention/LN/FFN2 recompute (w_k bias grads are exactly zero in
+    # exact arithmetic — softmax shift invariance — so the assert below
+    # tolerating small-magnitude noise matters for this knob)
+    {"VITIQ_TRAIN_STASH": "1"},
+], ids=["default", "pb_reuse", "epi_head", "dw_merged", "dw_batched",
+        "stash"])
 @pytest.mark.parametrize("Lx,n_head", [(17, 4), (129, 8)])
 def test_gradients_match_autodiff_nodrop(Lx, n_head, knobs, monkeypatch):
     """dx and every weight gradient vs jax autodiff of the XLA layer —

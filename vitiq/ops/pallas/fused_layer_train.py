@@ -107,7 +107,29 @@ def _key_split(lp: int, seq_len: int):
     return lp, 0
 
 
-def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
+def _stash_supported(lp: int, seq_len: int, n_head: int) -> bool:
+    """Geometries the stash fwd/bwd pair (VITIQ_TRAIN_STASH) can serve:
+    single score tile per head (no tail mode) and a packed-probs stash
+    narrow enough to stay a sane lane count."""
+    mxu_k, n_tail = _key_split(lp, seq_len)
+    return n_tail == 0 and mxu_k <= 128 and n_head * lp <= 512
+
+
+def _stash_enabled(lp: int, seq_len: int, n_head: int) -> bool:
+    """Round-3y on-chip A/B (seg-64 mp @ 8192, docs/BENCHMARKS.md): stash
+    G=24 52.08 ms vs recompute 53.42; the lighter stash backward also
+    unlocks G=32 (49.76 ms = 164.6K frames/s, +7.3%) where the recompute
+    backward hard-OOMs. auto = on in the measured small-Lp regime."""
+    env = os.environ.get("VITIQ_TRAIN_STASH", "auto")
+    if env == "0" or not _stash_supported(lp, seq_len, n_head):
+        return False
+    if env == "1":
+        return True
+    return lp <= 32
+
+
+def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False,
+                   force_probs=False):
     """Shared fwd attention (v3 structure) on a [G, Lp, 3D] qkv block.
 
     Returns attn [G, Lp, D] (normalized, heads packed); with want_residuals,
@@ -134,8 +156,9 @@ def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False):
     # (bf16) from this recompute and let the backward's gradient loop use
     # them directly (pbar = probs * 1/denom) instead of re-running the score
     # matmul + exp per tile.
-    keep_probs = (want_residuals
-                  and os.environ.get("VITIQ_TRAIN_PB", "recompute") == "reuse")
+    keep_probs = want_residuals and (
+        force_probs
+        or os.environ.get("VITIQ_TRAIN_PB", "recompute") == "reuse")
 
     accs, qkvs, probs_all = [], [], []
     for h in range(n_head):
@@ -306,18 +329,98 @@ def _fwd_kernel(
     y_ref[:] = y
 
 
-def _bwd_kernel(
-    seed_ref, x_ref, dy_ref,
+def _fwd_kernel_stash(
+    seed_ref, x_ref,
     wqkv_ref, bqkv_ref, wo_ref, bo_ref, g1_ref, be1_ref,
     w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
-    dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg1_ref, dbe1_ref,
-    dw1_ref, db1_ref, dw2_ref, db2_ref, dg2_ref, dbe2_ref,
-    # persistent VMEM scratch accumulators, one per weight grad (sequential
-    # grid; output refs with constant index maps are NOT safe to
-    # read-modify-write across grid steps on hardware — double buffering)
-    swqkv, sbqkv, swo, sbo, sg1, sbe1, sw1, sb1, sw2, sb2, sg2, sbe2,
+    y_ref, sb_ref, sf_ref,
     *, seq_len: int, n_head: int, drop: float, layer_idx: int,
 ):
+    """Forward that additionally EMITS the backward's recompute products
+    (VITIQ_TRAIN_STASH=1): sb = [attn | xh1 | xh2 | pbar(all heads)] in the
+    compute dtype and sf = [r1 | r2 | pad] f32, blocked like the data. The
+    stash backward then skips the attention/LN/FFN2 recompute entirely and
+    runs its gradient loop directly on the PRE-normalized probability tiles
+    (round-3x measured the PB=reuse normalization neutral, so folding rcp
+    into the stash costs nothing). Round-3w context: the recompute is
+    ~10.9 ms of the 54.1 ms seg-64 mp step."""
+    g, lp, d = x_ref.shape
+    dh = d // n_head
+    scale2 = _LOG2E / (dh ** 0.5)
+    x = x_ref[:]
+
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:]
+    qkv = qkv.astype(x.dtype)
+
+    attn, heads = _attention_fwd(qkv, n_head, seq_len, scale2, x.dtype,
+                                 want_residuals=True, force_probs=True)
+
+    a = jax.lax.dot_general(
+        attn, wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[:]
+    if drop > 0.0:
+        pltpu.prng_seed(
+            seed_ref[0] + np.int32((layer_idx * 0x1E3779B9) & 0x7FFFFFFF),
+            pl.program_id(0))
+        a = a * _dropout_mask(a.shape, drop)
+    z1 = a + x.astype(jnp.float32)
+    x1, xh1, r1 = _ln_fwd(z1, g1_ref[:], be1_ref[:], x.dtype)
+
+    pre = jax.lax.dot_general(
+        x1, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:]
+    h = jnp.maximum(pre, 0.0)
+    if drop > 0.0:
+        h = h * _dropout_mask(h.shape, drop)
+    h = h.astype(x.dtype)
+    f = jax.lax.dot_general(
+        h, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:]
+    if drop > 0.0:
+        f = f * _dropout_mask(f.shape, drop)
+    z2 = f + x1.astype(jnp.float32)
+    y, xh2, r2 = _ln_fwd(z2, g2_ref[:], be2_ref[:], y_ref.dtype)
+    y_ref[:] = y
+
+    from vitiq.ops.pallas.fused_encoder_layer import _den_expand
+
+    # single score tile per head (the _stash_supported gate): concat the 8
+    # unnormalized probability tiles and normalize once on the packed
+    # head*key lanes (f32-accurate hi/lo denominator expansion)
+    probs_cat = jnp.concatenate([hd[5][0] for hd in heads], axis=-1)
+    dens = jnp.concatenate([hd[3] for hd in heads], axis=-1)  # [G,Lp,H] f32
+    den_exp = _den_expand(dens, x.dtype, n_head, lp, n_head * lp)
+    pbar = (probs_cat.astype(jnp.float32) / den_exp).astype(x.dtype)
+    sb_ref[:] = jnp.concatenate(
+        [attn, xh1.astype(x.dtype), xh2.astype(x.dtype), pbar], axis=-1)
+    sf_ref[:] = jnp.concatenate(
+        [r1, r2, jnp.zeros((g, lp, 6), jnp.float32)], axis=-1)
+
+
+def _bwd_kernel(
+    seed_ref, x_ref, dy_ref, *rest,
+    seq_len: int, n_head: int, drop: float, layer_idx: int,
+    stash: bool = False,
+):
+    if stash:
+        sb_ref, sf_ref, *rest = rest
+    else:
+        sb_ref = sf_ref = None
+    (wqkv_ref, bqkv_ref, wo_ref, bo_ref, g1_ref, be1_ref,
+     w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
+     dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg1_ref, dbe1_ref,
+     dw1_ref, db1_ref, dw2_ref, db2_ref, dg2_ref, dbe2_ref,
+     # persistent VMEM scratch accumulators, one per weight grad (sequential
+     # grid; output refs with constant index maps are NOT safe to
+     # read-modify-write across grid steps on hardware — double buffering)
+     swqkv, sbqkv, swo, sbo, sg1, sbe1, sw1, sb1, sw2, sb2, sg2, sbe2,
+     ) = rest
     g, lp, d = x_ref.shape
     dh = d // n_head
     hwidth = w1_ref.shape[1]
@@ -406,6 +509,59 @@ def _bwd_kernel(
         h = jnp.maximum(wide32, 0.0).astype(x.dtype)
         xh2 = x32
         r2 = pos_col
+        _run_recompute = False
+    elif stash:
+        # ---- stash mode: rebuild the backward's inputs from the forward's
+        # stashes + two cheap GEMMs (qkv, FFN1); dropout masks are
+        # regenerated from the same PRNG stream in the same call order ----
+        sb = sb_ref[:]
+        attn = sb[:, :, :d]
+        xh1 = sb[:, :, d:2 * d].astype(jnp.float32)
+        xh2 = sb[:, :, 2 * d:3 * d].astype(jnp.float32)
+        pbar_all = sb[:, :, 3 * d:3 * d + n_head * lp]
+        sf = sf_ref[:]
+        r1 = sf[:, :, 0:1]
+        r2 = sf[:, :, 1:2]
+
+        qkv = jax.lax.dot_general(
+            x, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv_ref[:]
+        qkv = qkv.astype(x.dtype)
+        kv_mask = None
+        if seq_len < lp:
+            kv_mask = jax.lax.broadcasted_iota(
+                jnp.int32, (g, lp, dh), dimension=1) < seq_len
+        heads = []
+        for hh in range(n_head):
+            q = qkv[:, :, hh * dh:(hh + 1) * dh]
+            k = qkv[:, :, d + hh * dh:d + (hh + 1) * dh]
+            v = qkv[:, :, 2 * d + hh * dh:2 * d + (hh + 1) * dh]
+            if kv_mask is not None:
+                k = jnp.where(kv_mask, k, 0)
+                v = jnp.where(kv_mask, v, 0)
+            qs = (q.astype(jnp.float32) * scale2).astype(x.dtype)
+            out = attn[:, :, hh * dh:(hh + 1) * dh].astype(jnp.float32)
+            # denom=None: the stashed tiles are PRE-normalized pbar
+            heads.append((qs, k, v, None, out,
+                          [pbar_all[:, :, hh * lp:(hh + 1) * lp]]))
+        if drop > 0.0:
+            pltpu.prng_seed(
+                seed_ref[0] + np.int32((layer_idx * 0x1E3779B9) & 0x7FFFFFFF),
+                pl.program_id(0))
+            m1 = _dropout_mask((g, lp, d), drop)
+        x1 = (xh1 * g1_ref[:] + be1_ref[:]).astype(x.dtype)
+        pre = jax.lax.dot_general(
+            x1, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[:]
+        h = jnp.maximum(pre, 0.0)
+        if drop > 0.0:
+            m2 = _dropout_mask(h.shape, drop)
+            h = h * m2
+        h = h.astype(x.dtype)
+        if drop > 0.0:
+            m3 = _dropout_mask((g, lp, d), drop)
         _run_recompute = False
     else:
         _run_recompute = True
@@ -558,7 +714,10 @@ def _bwd_kernel(
             dout = dattn[:, :, hd_i * dh:(hd_i + 1) * dh].astype(jnp.float32)
             # flash identity: sum_j dp_ij p_ij = dout_i . out_i
             drow = jnp.sum(dout * out, axis=-1, keepdims=True)
-            rcp = (1.0 / denom) if probs_tiles is not None else None
+            # probs_tiles with denom: unnormalized recompute cache (PB=reuse);
+            # probs_tiles with denom=None: PRE-normalized stash tiles
+            rcp = (1.0 / denom) if (probs_tiles is not None
+                                    and denom is not None) else None
             dq_acc = None
             dk_cols = []
             dv_cols = []
@@ -567,8 +726,10 @@ def _bwd_kernel(
                 if probs_tiles is not None:
                     # VITIQ_TRAIN_PB=reuse: normalize the recompute's cached
                     # probability tile instead of re-running score matmul + exp
-                    pbar = (probs_tiles[c0 // 128].astype(jnp.float32)
-                            * rcp).astype(x.dtype)
+                    # (stash mode: the tile is already normalized, rcp=None)
+                    tile = probs_tiles[c0 // 128]
+                    pbar = (tile if rcp is None else
+                            (tile.astype(jnp.float32) * rcp).astype(x.dtype))
                 else:
                     scores = jax.lax.dot_general(
                         qs, k[:, c0:c0 + t, :],
@@ -741,7 +902,8 @@ def _train_vmem_estimate(g: int, Lp: int, D: int, H: int,
     )
 
 
-def _pick_g(Lp: int, D: int, H: int, itemsize: int) -> int:
+def _pick_g(Lp: int, D: int, H: int, itemsize: int,
+            stash: bool = False) -> int:
     """One block size for BOTH passes: dropout masks are generated per grid
     block (seeded on program_id), so fwd and bwd must partition the batch
     identically. Sized for the backward (recompute + grad temporaries).
@@ -751,6 +913,14 @@ def _pick_g(Lp: int, D: int, H: int, itemsize: int) -> int:
     g_env = int(os.environ.get("VITIQ_TRAIN_G", "0"))
     if g_env:
         return g_env
+    if stash and Lp <= 16:
+        # Round-3y/3z measured ladder (stash backward, seg-64 mp @ 8192):
+        # G=24 52.08 / G=32 49.76 / G=40 47.41 ms (172.8K frames/s); G=48
+        # is a hard OOM at 17.07 MB vs the 16.00 limit. G=40 certified
+        # batch-robust: compiles and wins at 16384 (179.6K) and 32768
+        # (181.8K) — the recompute backward's batch-sensitive footprint
+        # came from its recompute temporaries, which the stash removes.
+        return 40
     if Lp <= 16:
         # Round-3o/3p measured ladder at seg-64 mean-pool (Lp=16):
         # @2048 G=16 47.4K / G=24 50.5K / G=32 51.5K frames/s; G=48 is a
@@ -824,7 +994,8 @@ def _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights):
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     Lp = _round_up(L, sublane)
     H = weights[6].shape[1]
-    G = _pick_g(Lp, D, H, x.dtype.itemsize)
+    G = _pick_g(Lp, D, H, x.dtype.itemsize,
+                stash=_stash_enabled(Lp, seq_len, n_head))
     Bp = _round_up(B, G)
     xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
 
@@ -834,6 +1005,35 @@ def _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights):
     def rep(shape):
         return pl.BlockSpec(shape, lambda i, s: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
+
+    if _stash_enabled(Lp, seq_len, n_head):
+        wb = 3 * D + n_head * Lp
+        kernel = functools.partial(_fwd_kernel_stash, seq_len=seq_len,
+                                   n_head=n_head, drop=drop,
+                                   layer_idx=layer_idx)
+        y, sb, sf = _pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(Bp // G,),
+                in_specs=[data_block] + [rep(w.shape) for w in weights],
+                out_specs=[
+                    data_block,
+                    pl.BlockSpec((G, Lp, wb), lambda i, s: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((G, Lp, 8), lambda i, s: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
+                jax.ShapeDtypeStruct((Bp, Lp, wb), x.dtype),
+                jax.ShapeDtypeStruct((Bp, Lp, 8), jnp.float32),
+            ],
+        )(jnp.asarray([seed], jnp.int32), xp, *weights)
+        # stashes keep padded Bp rows: the backward re-derives the same
+        # G/Bp and consumes them directly, no re-pad needed
+        return y[:B, :L, :], sb, sf
 
     kernel = functools.partial(_fwd_kernel, seq_len=seq_len, n_head=n_head,
                                drop=drop, layer_idx=layer_idx)
@@ -847,21 +1047,22 @@ def _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights):
         ),
         out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
     )(jnp.asarray([seed], jnp.int32), xp, *weights)
-    return y[:B, :L, :]
+    return y[:B, :L, :], None, None
 
 
 def _fused_train_layer_fwd(n_head, drop, layer_idx, seq_len, seed, x, *weights):
-    y = _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights)
-    return y, (seed, x, weights)
+    y, sb, sf = _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights)
+    return y, (seed, x, sb, sf, weights)
 
 
 def _fused_train_layer_bwd(n_head, drop, layer_idx, seq_len, res, dy):
-    seed, x, weights = res
+    seed, x, sb, sf, weights = res
     B, L, D = x.shape
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     Lp = _round_up(L, sublane)
     H = weights[6].shape[1]
-    G = _pick_g(Lp, D, H, x.dtype.itemsize)
+    G = _pick_g(Lp, D, H, x.dtype.itemsize,
+                stash=_stash_enabled(Lp, seq_len, n_head))
     Bp = _round_up(B, G)
     xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
     dyp = jnp.pad(dy.astype(x.dtype), ((0, Bp - B), (0, Lp - L), (0, 0)))
@@ -882,19 +1083,32 @@ def _fused_train_layer_bwd(n_head, drop, layer_idx, seq_len, res, dy):
         jax.ShapeDtypeStruct(w2d(w), jnp.float32) for w in weights]
     out_specs = [data_block] + [rep(w2d(w)) for w in weights]
 
+    stash = sb is not None
+    stash_ins = []
+    stash_specs = []
+    if stash:
+        assert sb.shape[0] == Bp, (sb.shape, Bp)
+        stash_ins = [sb, sf]
+        stash_specs = [
+            pl.BlockSpec((G, Lp, sb.shape[-1]), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lp, sf.shape[-1]), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     kernel = functools.partial(_bwd_kernel, seq_len=seq_len, n_head=n_head,
-                               drop=drop, layer_idx=layer_idx)
+                               drop=drop, layer_idx=layer_idx, stash=stash)
     outs = _pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(Bp // G,),
-            in_specs=[data_block, data_block] + [rep(w.shape) for w in weights],
+            in_specs=[data_block, data_block] + stash_specs
+            + [rep(w.shape) for w in weights],
             out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM(w2d(w), jnp.float32) for w in weights],
         ),
         out_shape=out_shapes,
-    )(jnp.asarray([seed], jnp.int32), xp, dyp, *weights)
+    )(jnp.asarray([seed], jnp.int32), xp, dyp, *stash_ins, *weights)
 
     dx = outs[0][:B, :L, :]
     dws = []
