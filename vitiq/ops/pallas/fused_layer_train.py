@@ -109,10 +109,11 @@ def _key_split(lp: int, seq_len: int):
 
 def _stash_supported(lp: int, seq_len: int, n_head: int) -> bool:
     """Geometries the stash fwd/bwd pair (VITIQ_TRAIN_STASH) can serve:
-    single score tile per head (no tail mode) and a packed-probs stash
-    narrow enough to stay a sane lane count."""
+    no tail mode (the packed tail corrections aren't stashed) and a
+    packed-probs stash narrow enough to stay a sane lane count (flagship
+    Lp=144 x H8 = 1152 lanes bf16 = 36 KB/frame is the largest served)."""
     mxu_k, n_tail = _key_split(lp, seq_len)
-    return n_tail == 0 and mxu_k <= 128 and n_head * lp <= 512
+    return n_tail == 0 and n_head * lp <= 1280
 
 
 def _stash_enabled(lp: int, seq_len: int, n_head: int) -> bool:
@@ -390,10 +391,10 @@ def _fwd_kernel_stash(
 
     from vitiq.ops.pallas.fused_encoder_layer import _den_expand
 
-    # single score tile per head (the _stash_supported gate): concat the 8
-    # unnormalized probability tiles and normalize once on the packed
-    # head*key lanes (f32-accurate hi/lo denominator expansion)
-    probs_cat = jnp.concatenate([hd[5][0] for hd in heads], axis=-1)
+    # concat every head's unnormalized probability tiles (head-major, tile
+    # order within each head) and normalize once on the packed head*key
+    # lanes (f32-accurate hi/lo denominator expansion)
+    probs_cat = jnp.concatenate([t for hd in heads for t in hd[5]], axis=-1)
     dens = jnp.concatenate([hd[3] for hd in heads], axis=-1)  # [G,Lp,H] f32
     den_exp = _den_expand(dens, x.dtype, n_head, lp, n_head * lp)
     pbar = (probs_cat.astype(jnp.float32) / den_exp).astype(x.dtype)
@@ -542,9 +543,13 @@ def _bwd_kernel(
                 v = jnp.where(kv_mask, v, 0)
             qs = (q.astype(jnp.float32) * scale2).astype(x.dtype)
             out = attn[:, :, hh * dh:(hh + 1) * dh].astype(jnp.float32)
-            # denom=None: the stashed tiles are PRE-normalized pbar
+            # denom=None: the stashed tiles are PRE-normalized pbar; re-cut
+            # this head's lanes into the 128-wide tile list the gradient
+            # loop walks (one entry per score tile; n_tail==0 so mxu_k==lp)
             heads.append((qs, k, v, None, out,
-                          [pbar_all[:, :, hh * lp:(hh + 1) * lp]]))
+                          [pbar_all[:, :,
+                                    hh * lp + c0:hh * lp + min(c0 + 128, lp)]
+                           for c0 in range(0, lp, 128)]))
         if drop > 0.0:
             pltpu.prng_seed(
                 seed_ref[0] + np.int32((layer_idx * 0x1E3779B9) & 0x7FFFFFFF),
