@@ -50,6 +50,21 @@ def main() -> int:
         except Exception as e:
             print(f"seg64-mp secondary bench skipped ({type(e).__name__}: {e})",
                   file=sys.stderr)
+    # Secondary record: the fused TRAIN step at the same mean-pool geometry
+    # (fwd+bwd+AdamW; stash backward, G=40, amortized async-queue timing —
+    # docs/BENCHMARKS.md rounds 3w-3z). vs_reference_gpu is against the
+    # reference's only published throughput (~2,330 frames/s train).
+    if os.environ.get("VITIQ_BENCH_TRAIN", "1") != "0":
+        try:
+            from vitiq.bench import bench_train_step
+
+            tr = bench_train_step("rawiq_seg64_mp", 8192)
+            line["rawiq_seg64_mp_train_frames_per_sec"] = tr["value"]
+            line["rawiq_seg64_mp_train_vs_reference_gpu"] = tr[
+                "vs_reference_gpu"]
+        except Exception as e:
+            print(f"train secondary bench skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
     print(json.dumps(line))
     return 0
 
