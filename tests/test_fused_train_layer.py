@@ -39,8 +39,11 @@ def test_forward_matches_xla_nodrop(Lx, n_head):
     # exact arithmetic — softmax shift invariance — so the assert below
     # tolerating small-magnitude noise matters for this knob)
     {"VITIQ_TRAIN_STASH": "1"},
+    # stash is the AUTO default at Lp<=32, so pin the recompute backward
+    # explicitly to keep it covered at small Lp too
+    {"VITIQ_TRAIN_STASH": "0"},
 ], ids=["default", "pb_reuse", "epi_head", "dw_merged", "dw_batched",
-        "stash"])
+        "stash", "recompute"])
 @pytest.mark.parametrize("Lx,n_head", [(17, 4), (129, 8)])
 def test_gradients_match_autodiff_nodrop(Lx, n_head, knobs, monkeypatch):
     """dx and every weight gradient vs jax autodiff of the XLA layer —
@@ -281,3 +284,33 @@ def test_pick_g_measured_defaults(monkeypatch):
     assert _pick_g(144, 128, 512, 2) == 2    # flagship ViT
     monkeypatch.setenv("VITIQ_TRAIN_G", "7")
     assert _pick_g(16, 128, 1024, 2) == 7    # env override wins
+
+
+def test_stash_gate_and_picker(monkeypatch):
+    """Lock the measured stash auto-gate + G defaults (docs/BENCHMARKS.md
+    rounds 3y-3aa): auto = on at Lp<=32 where the on-chip A/B won (Lp=16
+    +13%, CLS +5.4%), off at the measured-neutral/negative big-Lp points
+    (flagship Lp=80 neutral, vit Lp=144 -22%); stash at Lp<=16 rides the
+    G=40 ladder rung its lighter backward unlocked."""
+    monkeypatch.delenv("VITIQ_TRAIN_G", raising=False)
+    monkeypatch.delenv("VITIQ_TRAIN_STASH", raising=False)
+    from vitiq.ops.pallas.fused_layer_train import (
+        _pick_g, _stash_enabled, _stash_supported)
+    # supported: no tail mode + packed probs lane cap (1280)
+    assert _stash_supported(16, 16, 8)
+    assert _stash_supported(144, 129, 8)     # flagship vit: 1152 lanes
+    assert not _stash_supported(144, 129, 16)  # 2304 lanes — over the cap
+    # auto gate: measured-win regime only (Lp=16/32/64 win on chip)
+    assert _stash_enabled(16, 16, 8)
+    assert _stash_enabled(32, 17, 8)
+    assert _stash_enabled(64, 64, 8)         # seg-16 mean-pool: +11%
+    assert not _stash_enabled(80, 65, 8)     # flagship: measured neutral
+    monkeypatch.setenv("VITIQ_TRAIN_STASH", "1")
+    assert _stash_enabled(80, 65, 8)         # forceable
+    monkeypatch.setenv("VITIQ_TRAIN_STASH", "0")
+    assert not _stash_enabled(16, 16, 8)
+    monkeypatch.delenv("VITIQ_TRAIN_STASH", raising=False)
+    # picker: stash unlocks G=40 at Lp<=16; recompute ladder unchanged
+    assert _pick_g(16, 128, 1024, 2, stash=True) == 40
+    assert _pick_g(16, 128, 1024, 2, stash=False) == 24
+    assert _pick_g(32, 128, 1024, 2, stash=True) == 8

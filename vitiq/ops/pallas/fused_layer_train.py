@@ -117,16 +117,18 @@ def _stash_supported(lp: int, seq_len: int, n_head: int) -> bool:
 
 
 def _stash_enabled(lp: int, seq_len: int, n_head: int) -> bool:
-    """Round-3y on-chip A/B (seg-64 mp @ 8192, docs/BENCHMARKS.md): stash
-    G=24 52.08 ms vs recompute 53.42; the lighter stash backward also
-    unlocks G=32 (49.76 ms = 164.6K frames/s, +7.3%) where the recompute
-    backward hard-OOMs. auto = on in the measured small-Lp regime."""
+    """Rounds 3y-3ab on-chip A/Bs (docs/BENCHMARKS.md): the stash backward
+    wins at Lp=16 (+13% with the G=40 rung it unlocks), Lp=32 (+5.4%) and
+    Lp=64 (+11%, seg-16 mean-pool 37.8K vs 34.0K); it is NEUTRAL at Lp=80
+    (flagship) and −22% at Lp=144 (vit — the 36 KB/frame probs stash
+    outgrows the recompute it saves). auto = on in the measured-win
+    regime."""
     env = os.environ.get("VITIQ_TRAIN_STASH", "auto")
     if env == "0" or not _stash_supported(lp, seq_len, n_head):
         return False
     if env == "1":
         return True
-    return lp <= 32
+    return lp <= 64
 
 
 def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False,
