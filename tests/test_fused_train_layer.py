@@ -301,16 +301,22 @@ def test_stash_gate_and_picker(monkeypatch):
     assert _stash_supported(144, 129, 8)     # flagship vit: 1152 lanes
     assert not _stash_supported(144, 129, 16)  # 2304 lanes — over the cap
     # auto gate: measured-win regime only (Lp=16/32/64 win on chip)
-    assert _stash_enabled(16, 16, 8)
-    assert _stash_enabled(32, 17, 8)
-    assert _stash_enabled(64, 64, 8)         # seg-16 mean-pool: +11%
-    assert not _stash_enabled(80, 65, 8)     # flagship: measured neutral
+    assert _stash_enabled(16, 16, 8, 128)
+    assert _stash_enabled(32, 17, 8, 128)
+    assert _stash_enabled(64, 64, 8, 128)    # seg-16 mean-pool: +30%
+    assert not _stash_enabled(80, 65, 8, 128)  # flagship: measured neutral
+    # d>128: stash residuals are HBM-resident per layer — the d256/L9 arm
+    # measured an HBM OOM at batch 8192; auto stays off there
+    assert not _stash_enabled(64, 64, 8, 256)
     monkeypatch.setenv("VITIQ_TRAIN_STASH", "1")
-    assert _stash_enabled(80, 65, 8)         # forceable
+    assert _stash_enabled(80, 65, 8, 128)    # forceable
     monkeypatch.setenv("VITIQ_TRAIN_STASH", "0")
-    assert not _stash_enabled(16, 16, 8)
+    assert not _stash_enabled(16, 16, 8, 128)
     monkeypatch.delenv("VITIQ_TRAIN_STASH", raising=False)
-    # picker: stash unlocks G=40 at Lp<=16; recompute ladder unchanged
+    # picker: the stash ladders (G=40/16/8 at Lp<=16/32/64, D<=128 —
+    # rounds 3y-3ad); recompute ladder unchanged; D>128 stays conservative
     assert _pick_g(16, 128, 1024, 2, stash=True) == 40
     assert _pick_g(16, 128, 1024, 2, stash=False) == 24
-    assert _pick_g(32, 128, 1024, 2, stash=True) == 8
+    assert _pick_g(32, 128, 1024, 2, stash=True) == 16
+    assert _pick_g(64, 128, 1024, 2, stash=True) == 8
+    assert _pick_g(64, 256, 1024, 2, stash=True) < 8

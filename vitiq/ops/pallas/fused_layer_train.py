@@ -116,19 +116,21 @@ def _stash_supported(lp: int, seq_len: int, n_head: int) -> bool:
     return n_tail == 0 and n_head * lp <= 1280
 
 
-def _stash_enabled(lp: int, seq_len: int, n_head: int) -> bool:
-    """Rounds 3y-3ab on-chip A/Bs (docs/BENCHMARKS.md): the stash backward
-    wins at Lp=16 (+13% with the G=40 rung it unlocks), Lp=32 (+5.4%) and
-    Lp=64 (+11%, seg-16 mean-pool 37.8K vs 34.0K); it is NEUTRAL at Lp=80
-    (flagship) and −22% at Lp=144 (vit — the 36 KB/frame probs stash
-    outgrows the recompute it saves). auto = on in the measured-win
-    regime."""
+def _stash_enabled(lp: int, seq_len: int, n_head: int, d: int) -> bool:
+    """Rounds 3y-3ad on-chip A/Bs (docs/BENCHMARKS.md): the stash backward
+    wins at Lp=16 (+13% with the G=40 rung it unlocks), Lp=32 (+24.3% with
+    G=16) and Lp=64 (+30% with G=8); it is NEUTRAL at Lp=80 (flagship) and
+    −22% at Lp=144 (vit — the 36 KB/frame probs stash outgrows the
+    recompute it saves). auto = on in the measured-win regime, which is
+    also gated to d<=128: the stash residuals are HBM-resident per LAYER
+    (the d256/L9 arm at Lp=64 batch 8192 measured a 16.17 GB HBM OOM —
+    ~164 KB/frame/layer of stashes — where the recompute backward fits)."""
     env = os.environ.get("VITIQ_TRAIN_STASH", "auto")
     if env == "0" or not _stash_supported(lp, seq_len, n_head):
         return False
     if env == "1":
         return True
-    return lp <= 64
+    return lp <= 64 and d <= 128
 
 
 def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False,
@@ -744,28 +746,48 @@ def _bwd_kernel(
                         preferred_element_type=jnp.float32,
                     )
                     pbar = (jnp.exp2(scores) / denom).astype(x.dtype)  # [G, Lq, t]
+                # TIMING-ONLY sub-probes of this chain (square tiles only —
+                # dout [G,Lq,dh] stands in for the [G,t,dh] outputs):
+                #   attn_nodv  — skip the dV GEMM
+                #   attn_nodsp — skip the dP GEMM + softmax-bwd VPU combine
+                #   attn_nodq  — skip the dQ GEMM
+                #   attn_nodk  — skip the dK GEMM
+                sq = lp == mxu_k and t == lp
                 # dV[kt] = pbar^T dout ; ddenom folds via the drow term
-                dv_cols.append(jax.lax.dot_general(
-                    pbar, dout.astype(x.dtype),
-                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ))  # [G, t, dh]
-                dp = jax.lax.dot_general(
-                    dout.astype(x.dtype), v[:, c0:c0 + t, :],
-                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )  # [G, Lq, t]
-                ds = (pbar.astype(jnp.float32) * (dp - drow)).astype(x.dtype)
-                dq_part = jax.lax.dot_general(
-                    ds, k[:, c0:c0 + t, :],
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )  # [G, Lq, dh]
+                if probe == "attn_nodv" and sq:
+                    dv_cols.append(dout)
+                else:
+                    dv_cols.append(jax.lax.dot_general(
+                        pbar, dout.astype(x.dtype),
+                        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ))  # [G, t, dh]
+                if probe == "attn_nodsp":
+                    ds = pbar
+                else:
+                    dp = jax.lax.dot_general(
+                        dout.astype(x.dtype), v[:, c0:c0 + t, :],
+                        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )  # [G, Lq, t]
+                    ds = (pbar.astype(jnp.float32) * (dp - drow)).astype(x.dtype)
+                if probe == "attn_nodq":
+                    dq_part = dout
+                else:
+                    dq_part = jax.lax.dot_general(
+                        ds, k[:, c0:c0 + t, :],
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )  # [G, Lq, dh]
                 dq_acc = dq_part if dq_acc is None else dq_acc + dq_part
-                dk_cols.append(jax.lax.dot_general(
-                    ds, qs, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ))  # [G, t, dh]
+                if probe == "attn_nodk" and sq:
+                    dk_cols.append(dout)
+                else:
+                    dk_cols.append(jax.lax.dot_general(
+                        ds, qs,
+                        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ))  # [G, t, dh]
             # ds was d(base-2 exponent); dq/dk w.r.t. unscaled q,k carry
             # ln2 * scale2 = 1/sqrt(dh); qs already includes scale2, so dk needs
             # ln2 only (ds @ qs = ln2^-1 ... ): dq = ln2*scale2 * (ds k) on raw k;
@@ -920,14 +942,20 @@ def _pick_g(Lp: int, D: int, H: int, itemsize: int,
     g_env = int(os.environ.get("VITIQ_TRAIN_G", "0"))
     if g_env:
         return g_env
-    if stash and Lp <= 16:
-        # Round-3y/3z measured ladder (stash backward, seg-64 mp @ 8192):
-        # G=24 52.08 / G=32 49.76 / G=40 47.41 ms (172.8K frames/s); G=48
-        # is a hard OOM at 17.07 MB vs the 16.00 limit. G=40 certified
-        # batch-robust: compiles and wins at 16384 (179.6K) and 32768
-        # (181.8K) — the recompute backward's batch-sensitive footprint
-        # came from its recompute temporaries, which the stash removes.
-        return 40
+    if stash and D <= 128:
+        # Rounds 3y-3ad measured stash ladders (@ 8192, D=128 arms; the
+        # D>128 family keeps the conservative estimate below):
+        #   Lp=16: 24→52.08 / 32→49.76 / 40→47.41 ms (G=48 OOM 17.07 MB);
+        #          G=40 batch-robust through 32768 (181.8K frames/s)
+        #   Lp=32: 8→112.57 / 12→96.46 / 16→90.79 ms (+24.3%; G=20 OOM
+        #          17.46 MB)
+        #   Lp=64: 4→216.9 / 8→185.9 ms (+17%; G=12 OOM 20.13 MB)
+        if Lp <= 16:
+            return 40
+        if Lp <= 32:
+            return 16
+        if Lp <= 64:
+            return 8
     if Lp <= 16:
         # Round-3o/3p measured ladder at seg-64 mean-pool (Lp=16):
         # @2048 G=16 47.4K / G=24 50.5K / G=32 51.5K frames/s; G=48 is a
@@ -1002,7 +1030,7 @@ def _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights):
     Lp = _round_up(L, sublane)
     H = weights[6].shape[1]
     G = _pick_g(Lp, D, H, x.dtype.itemsize,
-                stash=_stash_enabled(Lp, seq_len, n_head))
+                stash=_stash_enabled(Lp, seq_len, n_head, D))
     Bp = _round_up(B, G)
     xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
 
@@ -1013,7 +1041,7 @@ def _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights):
         return pl.BlockSpec(shape, lambda i, s: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
-    if _stash_enabled(Lp, seq_len, n_head):
+    if _stash_enabled(Lp, seq_len, n_head, D):
         wb = 3 * D + n_head * Lp
         kernel = functools.partial(_fwd_kernel_stash, seq_len=seq_len,
                                    n_head=n_head, drop=drop,
@@ -1069,7 +1097,7 @@ def _fused_train_layer_bwd(n_head, drop, layer_idx, seq_len, res, dy):
     Lp = _round_up(L, sublane)
     H = weights[6].shape[1]
     G = _pick_g(Lp, D, H, x.dtype.itemsize,
-                stash=_stash_enabled(Lp, seq_len, n_head))
+                stash=_stash_enabled(Lp, seq_len, n_head, D))
     Bp = _round_up(B, G)
     xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
     dyp = jnp.pad(dy.astype(x.dtype), ((0, Bp - B), (0, Lp - L), (0, 0)))
