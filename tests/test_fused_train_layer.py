@@ -39,11 +39,15 @@ def test_forward_matches_xla_nodrop(Lx, n_head):
     # exact arithmetic — softmax shift invariance — so the assert below
     # tolerating small-magnitude noise matters for this knob)
     {"VITIQ_TRAIN_STASH": "1"},
-    # stash is the AUTO default at Lp<=32, so pin the recompute backward
+    # stash is the AUTO default at Lp<=64, so pin the recompute backward
     # explicitly to keep it covered at small Lp too
     {"VITIQ_TRAIN_STASH": "0"},
+    # the per-head chain inside stash mode (fullprod is the default there)
+    {"VITIQ_TRAIN_STASH": "1", "VITIQ_TRAIN_ATTNBWD": "chain"},
+    # fullprod at a non-trivial head grouping
+    {"VITIQ_TRAIN_STASH": "1", "VITIQ_TRAIN_FPG": "2"},
 ], ids=["default", "pb_reuse", "epi_head", "dw_merged", "dw_batched",
-        "stash", "recompute"])
+        "stash", "recompute", "stash_chain", "stash_fpg2"])
 @pytest.mark.parametrize("Lx,n_head", [(17, 4), (129, 8)])
 def test_gradients_match_autodiff_nodrop(Lx, n_head, knobs, monkeypatch):
     """dx and every weight gradient vs jax autodiff of the XLA layer —

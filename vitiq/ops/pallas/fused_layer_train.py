@@ -713,6 +713,62 @@ def _bwd_kernel(
     # closure so the VITIQ_TRAIN_PROBE=noattnbwd timing probe can omit
     # it entirely (relying on Mosaic DCE for unused traced ops is not
     # safe)
+    def _attention_bwd_fullprod():
+        """Round-3ae mechanism: dV and dK both contract over Lq (the batch
+        row dim), so their 8 per-head [Lq,t]x[Lq,dh] GEMMs merge into ONE
+        full product per group — pbar_pk^T @ dattn and ds_pk^T @ qs_pk,
+        [G, gh*Lk, D] outputs whose DIAGONAL [Lk, dh] blocks are the
+        per-head gradients (off-diagonal blocks are computed and discarded
+        — MXU arithmetic is ~400x cheaper than the measured ~317 ns/op
+        serialization tax, docs/BENCHMARKS.md round 3ae). No block-diagonal
+        operand construction (the cost that sank xpack). dP and dQ contract
+        over lanes and stay per-head. VITIQ_TRAIN_FPG groups heads per full
+        product (8 = one GEMM) to bound the f32 output's VMEM footprint.
+        Requires stash tiles (pre-normalized pbar) + single square tile."""
+        fpg = int(os.environ.get("VITIQ_TRAIN_FPG", "8"))
+        dq_heads, ds_list = [], []
+        for hd_i in range(n_head):
+            qs, k, v, denom, out, probs_tiles = heads[hd_i]
+            dout = dattn[:, :, hd_i * dh:(hd_i + 1) * dh].astype(jnp.float32)
+            drow = jnp.sum(dout * out, axis=-1, keepdims=True)
+            pbar = probs_tiles[0]
+            dp = jax.lax.dot_general(
+                dout.astype(x.dtype), v,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # [G, Lq, Lk]
+            ds = (pbar.astype(jnp.float32) * (dp - drow)).astype(x.dtype)
+            ds_list.append(ds)
+            dq = jax.lax.dot_general(
+                ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dq_heads.append(dq * (_LN2 * scale2))
+
+        dv_blocks, dk_blocks = [], []
+        for g0 in range(0, n_head, fpg):
+            gh = min(fpg, n_head - g0)
+            pbar_pk = jnp.concatenate(
+                [heads[h][5][0] for h in range(g0, g0 + gh)], axis=-1)
+            qs_pk = jnp.concatenate(
+                [heads[h][0] for h in range(g0, g0 + gh)], axis=-1)
+            dout_pk = dattn[:, :, g0 * dh:(g0 + gh) * dh]
+            dv_out = jax.lax.dot_general(
+                pbar_pk, dout_pk,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # [G, gh*Lk, gh*dh]
+            dk_out = jax.lax.dot_general(
+                jnp.concatenate(ds_list[g0:g0 + gh], axis=-1), qs_pk,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # [G, gh*Lk, gh*dh]
+            for j in range(gh):
+                dv_blocks.append(
+                    dv_out[:, j * lp:(j + 1) * lp, j * dh:(j + 1) * dh])
+                dk_blocks.append(
+                    dk_out[:, j * lp:(j + 1) * lp, j * dh:(j + 1) * dh])
+        dk_all = jnp.concatenate(dk_blocks, axis=-1) * _LN2
+        dv_all = jnp.concatenate(dv_blocks, axis=-1)
+        return jnp.concatenate(
+            [jnp.concatenate(dq_heads, axis=-1), dk_all, dv_all], axis=-1)
+
     def _attention_bwd():
         # attention backward, per head, tiled over keys (tail keys beyond the
         # last full 128-wide tile handled as rank-1 VPU terms, as in forward)
@@ -886,6 +942,16 @@ def _bwd_kernel(
         # TIMING-ONLY (wrong outputs): skip the per-head attention
         # backward chains; dqkv stands in with matching shape/dtype
         dqkv = jnp.concatenate([dattn.astype(jnp.float32)] * 3, axis=-1)
+    elif (stash and _key_split(lp, seq_len) == (lp, 0) and lp <= 128
+          and os.environ.get("VITIQ_TRAIN_ATTNBWD", "fullprod")
+          == "fullprod"):
+        # Round-3ae on-chip ladder (seg-64 mp @ 8192, G=40): FPG=8 40.01 /
+        # FPG=4 42.29 / FPG=2 42.16 vs chain 46.90 ms — fullprod with one
+        # GEMM per gradient type is +17.2% (204.7K frames/s) and the
+        # DEFAULT in the stash regime; VITIQ_TRAIN_ATTNBWD=chain restores
+        # the per-head chain. Diagonal blocks of the full product are the
+        # same per-head sums (identical arithmetic, no reassociation).
+        dqkv = _attention_bwd_fullprod()
     else:
         dqkv = _attention_bwd()
     if seq_len < lp:
