@@ -726,22 +726,70 @@ def _bwd_kernel(
         product (8 = one GEMM) to bound the f32 output's VMEM footprint.
         Requires stash tiles (pre-normalized pbar) + single square tile."""
         fpg = int(os.environ.get("VITIQ_TRAIN_FPG", "8"))
-        dq_heads, ds_list = [], []
-        for hd_i in range(n_head):
-            qs, k, v, denom, out, probs_tiles = heads[hd_i]
-            dout = dattn[:, :, hd_i * dh:(hd_i + 1) * dh].astype(jnp.float32)
-            drow = jnp.sum(dout * out, axis=-1, keepdims=True)
-            pbar = probs_tiles[0]
-            dp = jax.lax.dot_general(
-                dout.astype(x.dtype), v,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)  # [G, Lq, Lk]
-            ds = (pbar.astype(jnp.float32) * (dp - drow)).astype(x.dtype)
-            ds_list.append(ds)
-            dq = jax.lax.dot_general(
-                ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-            dq_heads.append(dq * (_LN2 * scale2))
+        if os.environ.get("VITIQ_TRAIN_FPV", "wide") == "wide":
+            # DEFAULT (round-3ag on-chip A/B, seg-64 mp @ 8192: 35.92 ms =
+            # 228.1K frames/s vs per-head 40.01 — +12.3%; VITIQ_TRAIN_FPV=
+            # head restores the narrow per-head softmax backward).
+            # WIDE softmax-backward VPU: the per-head drow reductions and
+            # ds combines are narrow [G,Lq,Lk] lane-16 ops (8x VPU waste +
+            # 8x op tax). Replace with the tail-section's proven patterns:
+            # drow for ALL heads via one [D,H] block matmul, expanded onto
+            # the packed head*key lanes (f32-accurate hi/lo), then ONE
+            # wide ds chain. dP GEMMs stay per-head (lane-contracted).
+            from vitiq.ops.pallas.fused_encoder_layer import _den_expand
+
+            li = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 0)
+            hi = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 1)
+            blk = (li // dh == hi).astype(x.dtype)  # [D, H]
+            dattn32 = dattn.astype(jnp.float32)
+            attn32 = attn.astype(jnp.float32)
+            drow_cat = jax.lax.dot_general(
+                (dattn32 * attn32).astype(x.dtype), blk,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [G, Lq, H]
+            drow_exp = _den_expand(drow_cat, x.dtype, n_head, lp,
+                                   n_head * lp)  # [G, Lq, H*Lk] f32
+            dp_list = []
+            for hd_i in range(n_head):
+                _, _, v, _, _, _ = heads[hd_i]
+                dout_b = dattn[:, :, hd_i * dh:(hd_i + 1) * dh]
+                dp_list.append(jax.lax.dot_general(
+                    dout_b, v,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32))  # [G, Lq, Lk]
+            dp_pk = jnp.concatenate(dp_list, axis=-1)
+            pbar_full = jnp.concatenate(
+                [heads[h][5][0] for h in range(n_head)], axis=-1)
+            ds_pk_full = (pbar_full.astype(jnp.float32)
+                          * (dp_pk - drow_exp)).astype(x.dtype)
+            ds_list = [ds_pk_full[:, :, h * lp:(h + 1) * lp]
+                       for h in range(n_head)]
+            dq_heads = []
+            for hd_i in range(n_head):
+                k = heads[hd_i][1]
+                dq = jax.lax.dot_general(
+                    ds_list[hd_i], k,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                dq_heads.append(dq * (_LN2 * scale2))
+        else:
+            dq_heads, ds_list = [], []
+            for hd_i in range(n_head):
+                qs, k, v, denom, out, probs_tiles = heads[hd_i]
+                dout = dattn[:, :, hd_i * dh:(hd_i + 1) * dh].astype(
+                    jnp.float32)
+                drow = jnp.sum(dout * out, axis=-1, keepdims=True)
+                pbar = probs_tiles[0]
+                dp = jax.lax.dot_general(
+                    dout.astype(x.dtype), v,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # [G, Lq, Lk]
+                ds = (pbar.astype(jnp.float32) * (dp - drow)).astype(x.dtype)
+                ds_list.append(ds)
+                dq = jax.lax.dot_general(
+                    ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                dq_heads.append(dq * (_LN2 * scale2))
 
         dv_blocks, dk_blocks = [], []
         for g0 in range(0, n_head, fpg):
