@@ -48,8 +48,11 @@ def test_forward_matches_xla_nodrop(Lx, n_head):
     {"VITIQ_TRAIN_STASH": "1", "VITIQ_TRAIN_FPG": "2"},
     # fullprod with the narrow per-head softmax backward (wide is default)
     {"VITIQ_TRAIN_STASH": "1", "VITIQ_TRAIN_FPV": "head"},
+    # the chain stash FORWARD (xpack fwd is the default in-regime)
+    {"VITIQ_TRAIN_STASH": "1", "VITIQ_TRAIN_FWD": "chain"},
 ], ids=["default", "pb_reuse", "epi_head", "dw_merged", "dw_batched",
-        "stash", "recompute", "stash_chain", "stash_fpg2", "stash_fpvhead"])
+        "stash", "recompute", "stash_chain", "stash_fpg2", "stash_fpvhead",
+        "stash_fwdchain"])
 @pytest.mark.parametrize("Lx,n_head", [(17, 4), (129, 8)])
 def test_gradients_match_autodiff_nodrop(Lx, n_head, knobs, monkeypatch):
     """dx and every weight gradient vs jax autodiff of the XLA layer —

@@ -393,6 +393,12 @@ def _fwd_kernel_stash(
     y, xh2, r2 = _ln_fwd(z2, g2_ref[:], be2_ref[:], y_ref.dtype)
     y_ref[:] = y
 
+    if os.environ.get("VITIQ_TRAIN_PROBE") == "nostash":
+        # TIMING-ONLY (breaks the backward): skip the stash normalization,
+        # packing and writes to bound the stash-emission share of the
+        # forward kernel (y still depends on the full compute)
+        return
+
     from vitiq.ops.pallas.fused_encoder_layer import _den_expand
 
     # concat every head's unnormalized probability tiles (head-major, tile
@@ -402,6 +408,122 @@ def _fwd_kernel_stash(
     dens = jnp.concatenate([hd[3] for hd in heads], axis=-1)  # [G,Lp,H] f32
     den_exp = _den_expand(dens, x.dtype, n_head, lp, n_head * lp)
     pbar = (probs_cat.astype(jnp.float32) / den_exp).astype(x.dtype)
+    sb_ref[:] = jnp.concatenate(
+        [attn, xh1.astype(x.dtype), xh2.astype(x.dtype), pbar], axis=-1)
+    sf_ref[:] = jnp.concatenate(
+        [r1, r2, jnp.zeros((g, lp, 6), jnp.float32)], axis=-1)
+
+
+def _fwd_kernel_stash_xpack(
+    seed_ref, x_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref, g1_ref, be1_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
+    y_ref, sb_ref, sf_ref,
+    kp_s, vp_s,
+    *, seq_len: int, n_head: int, drop: float, layer_idx: int,
+):
+    """Stash forward with the serving kernel's CROSS-HEAD PACKED attention
+    core (fused_encoder_layer._v3_attention_core_xpack structure): K/V
+    scattered into block-diagonal [H*Lp, D] scratches once per grid step
+    (zeroed once per call — off-block lanes are never dirtied), then ONE
+    score GEMM + one exp2 + one PV GEMM + one ones-block denominator GEMM
+    replace the H serialized per-head chains. The packed probs tensor
+    [G, Lq, H*Lk] is EXACTLY the stash's pbar layout, so the stash
+    emission's per-head concat disappears too. q is scaled in-kernel (one
+    wide VPU op) instead of the serving path's host-side W_q folding.
+    Padded keys: vp rows + ones_bd rows are zeroed, so attn and dens are
+    exact; pbar's padded columns carry junk-but-finite values that the
+    backward annihilates (zeroed k/v + dqkv row mask), same as the chain
+    stash's probs=1 columns."""
+    g, lp, d = x_ref.shape
+    dh = d // n_head
+    scale2 = _LOG2E / (dh ** 0.5)
+    x = x_ref[:]
+
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:]
+    qkv = qkv.astype(x.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        kp_s[:] = jnp.zeros_like(kp_s)
+        vp_s[:] = jnp.zeros_like(vp_s)
+
+    if seq_len < lp:
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=1)
+        vmask = row < seq_len
+    else:
+        vmask = None
+    for h in range(n_head):
+        k_h = qkv[:, :, d + h * dh:d + (h + 1) * dh]
+        v_h = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        if vmask is not None:
+            v_h = jnp.where(vmask, v_h, 0)
+        kp_s[:, h * lp:(h + 1) * lp, h * dh:(h + 1) * dh] = k_h
+        vp_s[:, h * lp:(h + 1) * lp, h * dh:(h + 1) * dh] = v_h
+
+    qs_full = (qkv[:, :, :d].astype(jnp.float32) * scale2).astype(x.dtype)
+    scores = jax.lax.dot_general(
+        qs_full, kp_s[:],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [G, Lq, H*Lp]
+    probs = jnp.exp2(scores).astype(x.dtype)
+    nums = jax.lax.dot_general(
+        probs, vp_s[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [G, Lq, D]
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (n_head * lp, n_head), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (n_head * lp, n_head), 1)
+    ones_bd = ((r_i // lp == c_i) & (r_i % lp < seq_len)).astype(x.dtype)
+    dens = jax.lax.dot_general(
+        probs, ones_bd,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [G, Lq, H]
+
+    from vitiq.ops.pallas.fused_encoder_layer import _den_expand
+
+    attn = (nums / _den_expand(dens, x.dtype, n_head, dh, d)).astype(x.dtype)
+
+    a = jax.lax.dot_general(
+        attn, wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[:]
+    if drop > 0.0:
+        pltpu.prng_seed(
+            seed_ref[0] + np.int32((layer_idx * 0x1E3779B9) & 0x7FFFFFFF),
+            pl.program_id(0))
+        a = a * _dropout_mask(a.shape, drop)
+    z1 = a + x.astype(jnp.float32)
+    x1, xh1, r1 = _ln_fwd(z1, g1_ref[:], be1_ref[:], x.dtype)
+
+    pre = jax.lax.dot_general(
+        x1, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:]
+    h = jnp.maximum(pre, 0.0)
+    if drop > 0.0:
+        h = h * _dropout_mask(h.shape, drop)
+    h = h.astype(x.dtype)
+    f = jax.lax.dot_general(
+        h, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:]
+    if drop > 0.0:
+        f = f * _dropout_mask(f.shape, drop)
+    z2 = f + x1.astype(jnp.float32)
+    y, xh2, r2 = _ln_fwd(z2, g2_ref[:], be2_ref[:], y_ref.dtype)
+    y_ref[:] = y
+
+    if os.environ.get("VITIQ_TRAIN_PROBE") == "nostash":
+        return
+    pbar = (probs.astype(jnp.float32)
+            / _den_expand(dens, x.dtype, n_head, lp, n_head * lp)
+            ).astype(x.dtype)
     sb_ref[:] = jnp.concatenate(
         [attn, xh1.astype(x.dtype), xh2.astype(x.dtype), pbar], axis=-1)
     sf_ref[:] = jnp.concatenate(
@@ -1157,9 +1279,25 @@ def _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights):
 
     if _stash_enabled(Lp, seq_len, n_head, D):
         wb = 3 * D + n_head * Lp
-        kernel = functools.partial(_fwd_kernel_stash, seq_len=seq_len,
-                                   n_head=n_head, drop=drop,
-                                   layer_idx=layer_idx)
+        # The serving kernel's cross-head packed attention core in the
+        # stash forward (one block-diagonal GEMM chain; the packed probs
+        # ARE the stash layout). DEFAULT in its eligible regime — round-3ai
+        # on-chip A/B (seg-64 mp @ 8192): 33.05 ms = 247.9K frames/s vs
+        # the chain fwd's 35.92 (+8.7%). VITIQ_TRAIN_FWD=chain restores.
+        xpack_fwd = (os.environ.get("VITIQ_TRAIN_FWD", "xpack") == "xpack"
+                     and n_head * Lp <= 512
+                     and _key_split(Lp, seq_len) == (Lp, 0))
+        scratch = []
+        if xpack_fwd:
+            kernel = functools.partial(_fwd_kernel_stash_xpack,
+                                       seq_len=seq_len, n_head=n_head,
+                                       drop=drop, layer_idx=layer_idx)
+            scratch = [pltpu.VMEM((G, n_head * Lp, D), x.dtype),
+                       pltpu.VMEM((G, n_head * Lp, D), x.dtype)]
+        else:
+            kernel = functools.partial(_fwd_kernel_stash, seq_len=seq_len,
+                                       n_head=n_head, drop=drop,
+                                       layer_idx=layer_idx)
         y, sb, sf = _pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1173,6 +1311,7 @@ def _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights):
                     pl.BlockSpec((G, Lp, 8), lambda i, s: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
+                scratch_shapes=scratch,
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
