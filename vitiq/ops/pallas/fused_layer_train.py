@@ -697,6 +697,15 @@ def _bwd_kernel(
     else:
         _run_recompute = True
 
+    # the full-product/wide attention backward applies in BOTH residual
+    # modes: stash (pre-normalized pbar tiles) and recompute (force the
+    # recompute to keep its unnormalized tiles + denominators) — round 3al
+    use_fullprod = (
+        probe not in ("noattnbwd", "norecomp")  # norecomp fabricates
+        # heads without probability tiles
+        and _key_split(lp, seq_len)[1] == 0
+        and os.environ.get("VITIQ_TRAIN_ATTNBWD", "fullprod") == "fullprod")
+
     if _run_recompute:
         # ------------- recompute forward (same PRNG call order) -----------
         qkv = jax.lax.dot_general(
@@ -706,7 +715,8 @@ def _bwd_kernel(
         qkv = qkv.astype(x.dtype)
 
         attn, heads = _attention_fwd(qkv, n_head, seq_len, scale2, x.dtype,
-                                     want_residuals=True)
+                                     want_residuals=True,
+                                     force_probs=use_fullprod)
 
         a = jax.lax.dot_general(
             attn, wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
@@ -836,106 +846,126 @@ def _bwd_kernel(
     # it entirely (relying on Mosaic DCE for unused traced ops is not
     # safe)
     def _attention_bwd_fullprod():
-        """Round-3ae mechanism: dV and dK both contract over Lq (the batch
-        row dim), so their 8 per-head [Lq,t]x[Lq,dh] GEMMs merge into ONE
-        full product per group — pbar_pk^T @ dattn and ds_pk^T @ qs_pk,
-        [G, gh*Lk, D] outputs whose DIAGONAL [Lk, dh] blocks are the
-        per-head gradients (off-diagonal blocks are computed and discarded
-        — MXU arithmetic is ~400x cheaper than the measured ~317 ns/op
-        serialization tax, docs/BENCHMARKS.md round 3ae). No block-diagonal
-        operand construction (the cost that sank xpack). dP and dQ contract
-        over lanes and stay per-head. VITIQ_TRAIN_FPG groups heads per full
-        product (8 = one GEMM) to bound the f32 output's VMEM footprint.
-        Requires stash tiles (pre-normalized pbar) + single square tile."""
+        """Rounds 3ae-3am mechanism: dV and dK both contract over Lq (the
+        batch row dim), so their per-head [Lq,t]x[Lq,dh] GEMMs merge into
+        ONE full product per (tile, group) — pbar_pk^T @ dattn and
+        ds_pk^T @ qs_pk, [G, gh*t, gh*dh] outputs whose DIAGONAL [t, dh]
+        blocks are the per-head gradients (off-diagonals are computed and
+        discarded — MXU arithmetic is ~400x cheaper than the measured
+        ~317 ns/op serialization tax). No block-diagonal operand
+        construction (the cost that sank xpack). dP and dQ contract over
+        lanes and stay per-head. The softmax backward runs WIDE by default
+        (one block-matmul drow + hi/lo lane expansion + one wide ds chain
+        per tile; VITIQ_TRAIN_FPV=head restores the narrow per-head form).
+        Works for BOTH residual modes — stash (pre-normalized pbar) and
+        recompute (force_probs keeps unnormalized tiles + denominators,
+        normalized here once per tile, wide) — and for multi-tile key
+        dimensions (vit flagship Lp=144 = 128+16)."""
         fpg = int(os.environ.get("VITIQ_TRAIN_FPG", "8"))
-        if os.environ.get("VITIQ_TRAIN_FPV", "wide") == "wide":
-            # DEFAULT (round-3ag on-chip A/B, seg-64 mp @ 8192: 35.92 ms =
-            # 228.1K frames/s vs per-head 40.01 — +12.3%; VITIQ_TRAIN_FPV=
-            # head restores the narrow per-head softmax backward).
-            # WIDE softmax-backward VPU: the per-head drow reductions and
-            # ds combines are narrow [G,Lq,Lk] lane-16 ops (8x VPU waste +
-            # 8x op tax). Replace with the tail-section's proven patterns:
-            # drow for ALL heads via one [D,H] block matmul, expanded onto
-            # the packed head*key lanes (f32-accurate hi/lo), then ONE
-            # wide ds chain. dP GEMMs stay per-head (lane-contracted).
-            from vitiq.ops.pallas.fused_encoder_layer import _den_expand
+        from vitiq.ops.pallas.fused_encoder_layer import _den_expand
 
+        mxu_k, _ = _key_split(lp, seq_len)
+        tile_offs = [(c0, min(128, mxu_k - c0))
+                     for c0 in range(0, mxu_k, 128)]
+        n_tiles = len(tile_offs)
+        wide = os.environ.get("VITIQ_TRAIN_FPV", "wide") == "wide"
+
+        stash_tiles = heads[0][3] is None  # pre-normalized pbar
+        dens_cat = None
+        if not stash_tiles:
+            dens_cat = jnp.concatenate(
+                [heads[h][3] for h in range(n_head)], axis=-1)
+
+        def pbar_tile_major(ti, c0, t):
+            # heads[h][5][ti] is this head's ti-th key tile in BOTH modes
+            probs_ti = jnp.concatenate(
+                [heads[h][5][ti] for h in range(n_head)], axis=-1)
+            if stash_tiles:
+                return probs_ti  # already normalized
+            return (probs_ti.astype(jnp.float32)
+                    / _den_expand(dens_cat, x.dtype, n_head, t, n_head * t)
+                    ).astype(x.dtype)
+
+        drow_cat = None
+        drows = None
+        if wide:
             li = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 0)
             hi = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 1)
             blk = (li // dh == hi).astype(x.dtype)  # [D, H]
-            dattn32 = dattn.astype(jnp.float32)
-            attn32 = attn.astype(jnp.float32)
             drow_cat = jax.lax.dot_general(
-                (dattn32 * attn32).astype(x.dtype), blk,
+                (dattn.astype(jnp.float32)
+                 * attn.astype(jnp.float32)).astype(x.dtype), blk,
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [G, Lq, H]
-            drow_exp = _den_expand(drow_cat, x.dtype, n_head, lp,
-                                   n_head * lp)  # [G, Lq, H*Lk] f32
-            dp_list = []
-            for hd_i in range(n_head):
-                _, _, v, _, _, _ = heads[hd_i]
-                dout_b = dattn[:, :, hd_i * dh:(hd_i + 1) * dh]
-                dp_list.append(jax.lax.dot_general(
-                    dout_b, v,
+        else:
+            drows = [jnp.sum(
+                dattn[:, :, h * dh:(h + 1) * dh].astype(jnp.float32)
+                * heads[h][4], axis=-1, keepdims=True)
+                for h in range(n_head)]
+
+        dq_accs = [None] * n_head
+        dv_rows = [[] for _ in range(n_head)]
+        dk_rows = [[] for _ in range(n_head)]
+        for ti, (c0, t) in enumerate(tile_offs):
+            pbar_ti = pbar_tile_major(ti, c0, t)  # [G, Lq, H*t]
+            if wide:
+                dp_ti = jnp.concatenate([jax.lax.dot_general(
+                    dattn[:, :, h * dh:(h + 1) * dh],
+                    heads[h][2][:, c0:c0 + t, :],
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32))  # [G, Lq, Lk]
-            dp_pk = jnp.concatenate(dp_list, axis=-1)
-            pbar_full = jnp.concatenate(
-                [heads[h][5][0] for h in range(n_head)], axis=-1)
-            ds_pk_full = (pbar_full.astype(jnp.float32)
-                          * (dp_pk - drow_exp)).astype(x.dtype)
-            ds_list = [ds_pk_full[:, :, h * lp:(h + 1) * lp]
-                       for h in range(n_head)]
-            dq_heads = []
-            for hd_i in range(n_head):
-                k = heads[hd_i][1]
-                dq = jax.lax.dot_general(
-                    ds_list[hd_i], k,
+                    preferred_element_type=jnp.float32)
+                    for h in range(n_head)], axis=-1)  # [G, Lq, H*t]
+                drow_exp = _den_expand(drow_cat, x.dtype, n_head, t,
+                                       n_head * t)
+                ds_ti = (pbar_ti.astype(jnp.float32)
+                         * (dp_ti - drow_exp)).astype(x.dtype)
+            else:
+                ds_parts = []
+                for h in range(n_head):
+                    dp = jax.lax.dot_general(
+                        dattn[:, :, h * dh:(h + 1) * dh],
+                        heads[h][2][:, c0:c0 + t, :],
+                        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+                    ds_parts.append(
+                        (pbar_ti[:, :, h * t:(h + 1) * t].astype(jnp.float32)
+                         * (dp - drows[h])).astype(x.dtype))
+                ds_ti = jnp.concatenate(ds_parts, axis=-1)
+            for h in range(n_head):
+                dq_p = jax.lax.dot_general(
+                    ds_ti[:, :, h * t:(h + 1) * t],
+                    heads[h][1][:, c0:c0 + t, :],
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
-                dq_heads.append(dq * (_LN2 * scale2))
-        else:
-            dq_heads, ds_list = [], []
-            for hd_i in range(n_head):
-                qs, k, v, denom, out, probs_tiles = heads[hd_i]
-                dout = dattn[:, :, hd_i * dh:(hd_i + 1) * dh].astype(
-                    jnp.float32)
-                drow = jnp.sum(dout * out, axis=-1, keepdims=True)
-                pbar = probs_tiles[0]
-                dp = jax.lax.dot_general(
-                    dout.astype(x.dtype), v,
-                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)  # [G, Lq, Lk]
-                ds = (pbar.astype(jnp.float32) * (dp - drow)).astype(x.dtype)
-                ds_list.append(ds)
-                dq = jax.lax.dot_general(
-                    ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                dq_accs[h] = dq_p if dq_accs[h] is None else dq_accs[h] + dq_p
+            for g0 in range(0, n_head, fpg):
+                gh = min(fpg, n_head - g0)
+                pbar_pk = pbar_ti[:, :, g0 * t:(g0 + gh) * t]
+                ds_pk = ds_ti[:, :, g0 * t:(g0 + gh) * t]
+                dout_pk = dattn[:, :, g0 * dh:(g0 + gh) * dh]
+                qs_pk = jnp.concatenate(
+                    [heads[h][0] for h in range(g0, g0 + gh)], axis=-1)
+                dv_out = jax.lax.dot_general(
+                    pbar_pk, dout_pk,
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # [G, gh*t, gh*dh]
+                dk_out = jax.lax.dot_general(
+                    ds_pk, qs_pk,
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
-                dq_heads.append(dq * (_LN2 * scale2))
+                for j in range(gh):
+                    dv_rows[g0 + j].append(
+                        dv_out[:, j * t:(j + 1) * t, j * dh:(j + 1) * dh])
+                    dk_rows[g0 + j].append(
+                        dk_out[:, j * t:(j + 1) * t, j * dh:(j + 1) * dh])
 
-        dv_blocks, dk_blocks = [], []
-        for g0 in range(0, n_head, fpg):
-            gh = min(fpg, n_head - g0)
-            pbar_pk = jnp.concatenate(
-                [heads[h][5][0] for h in range(g0, g0 + gh)], axis=-1)
-            qs_pk = jnp.concatenate(
-                [heads[h][0] for h in range(g0, g0 + gh)], axis=-1)
-            dout_pk = dattn[:, :, g0 * dh:(g0 + gh) * dh]
-            dv_out = jax.lax.dot_general(
-                pbar_pk, dout_pk,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)  # [G, gh*Lk, gh*dh]
-            dk_out = jax.lax.dot_general(
-                jnp.concatenate(ds_list[g0:g0 + gh], axis=-1), qs_pk,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)  # [G, gh*Lk, gh*dh]
-            for j in range(gh):
-                dv_blocks.append(
-                    dv_out[:, j * lp:(j + 1) * lp, j * dh:(j + 1) * dh])
-                dk_blocks.append(
-                    dk_out[:, j * lp:(j + 1) * lp, j * dh:(j + 1) * dh])
-        dk_all = jnp.concatenate(dk_blocks, axis=-1) * _LN2
-        dv_all = jnp.concatenate(dv_blocks, axis=-1)
+        dq_heads = [acc * (_LN2 * scale2) for acc in dq_accs]
+        dv_heads = [rows[0] if n_tiles == 1 else
+                    jnp.concatenate(rows, axis=1) for rows in dv_rows]
+        dk_heads = [rows[0] if n_tiles == 1 else
+                    jnp.concatenate(rows, axis=1) for rows in dk_rows]
+        dk_all = jnp.concatenate(dk_heads, axis=-1) * _LN2
+        dv_all = jnp.concatenate(dv_heads, axis=-1)
         return jnp.concatenate(
             [jnp.concatenate(dq_heads, axis=-1), dk_all, dv_all], axis=-1)
 
@@ -1112,15 +1142,13 @@ def _bwd_kernel(
         # TIMING-ONLY (wrong outputs): skip the per-head attention
         # backward chains; dqkv stands in with matching shape/dtype
         dqkv = jnp.concatenate([dattn.astype(jnp.float32)] * 3, axis=-1)
-    elif (stash and _key_split(lp, seq_len) == (lp, 0) and lp <= 128
-          and os.environ.get("VITIQ_TRAIN_ATTNBWD", "fullprod")
-          == "fullprod"):
+    elif use_fullprod:
         # Round-3ae on-chip ladder (seg-64 mp @ 8192, G=40): FPG=8 40.01 /
         # FPG=4 42.29 / FPG=2 42.16 vs chain 46.90 ms — fullprod with one
         # GEMM per gradient type is +17.2% (204.7K frames/s) and the
-        # DEFAULT in the stash regime; VITIQ_TRAIN_ATTNBWD=chain restores
-        # the per-head chain. Diagonal blocks of the full product are the
-        # same per-head sums (identical arithmetic, no reassociation).
+        # DEFAULT in both residual modes; VITIQ_TRAIN_ATTNBWD=chain
+        # restores the per-head chain. Diagonal blocks of the full product
+        # are the same per-head sums (identical arithmetic).
         dqkv = _attention_bwd_fullprod()
     else:
         dqkv = _attention_bwd()
