@@ -65,6 +65,17 @@ def main() -> int:
         except Exception as e:
             print(f"train secondary bench skipped ({type(e).__name__}: {e})",
                   file=sys.stderr)
+        # the REFERENCE flagship architecture's train step — the apples-to-
+        # apples comparison against the reference's only published
+        # throughput (~2,330 frames/s train on its GPU)
+        try:
+            trf = bench_train_step("rawiq", 2048)
+            line["rawiq_flagship_train_frames_per_sec"] = trf["value"]
+            line["rawiq_flagship_train_vs_reference_gpu"] = trf[
+                "vs_reference_gpu"]
+        except Exception as e:
+            print(f"flagship train bench skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
     print(json.dumps(line))
     return 0
 
