@@ -4,19 +4,30 @@ Round-1/2 measurements (docs/BENCHMARKS.md): the unfused XLA train path costs
 425 ms @ batch 2048 on the flagship, of which ~331 ms is backward — the
 backward re-materializes every activation through HBM and recomputes
 attention unfused. This module gives the training step the same treatment the
-serving path got:
+serving path got, then the round-3 train campaign (docs/BENCHMARKS.md rounds
+3t-3am) rebuilt both passes around the measured ~317 ns/op serialization tax:
 
-* FORWARD: one Pallas kernel per layer — the v3 serving kernel's structure
-  (score-tile streaming, MXU ones-column denominator, masking via zeroed
-  K/V rows) plus the reference's three dropout sites (after attention,
-  inside the FFN, after the FFN — ref: ViT/models/blocks/encoder_layer.py:
-  18-35, position_wise_feed_forward.py:12-17) generated IN-KERNEL with the
-  TPU PRNG (pltpu.prng_seed / prng_random_bits).
-* BACKWARD: one Pallas kernel per layer that RECOMPUTES the whole forward
-  (flash-style — no [B,H,L,L] tensor and no dropout mask ever touches HBM;
-  the masks are regenerated bit-identically by reseeding the same PRNG
-  stream) and produces dx plus all 12 weight gradients, accumulated in f32
-  across the sequential grid.
+* FORWARD: one Pallas kernel per layer with the reference's three dropout
+  sites (ref: ViT/models/blocks/encoder_layer.py:18-35,
+  position_wise_feed_forward.py:12-17) generated IN-KERNEL with the TPU PRNG.
+  Two attention cores: the chained per-head v3 structure, and (default in
+  its regime) the serving kernel's CROSS-HEAD PACKED core
+  (_fwd_kernel_stash_xpack — one block-diagonal GEMM chain).
+* RESIDUALS, two modes: STASH (auto at Lp<=64, d<=128) — the forward emits
+  [attn|xh1|xh2|pbar]+[r1|r2] so the backward skips the attention/LN/FFN2
+  recompute and its freed VMEM climbs the measured G ladders (G=40/16/8 at
+  Lp<=16/32/64); RECOMPUTE elsewhere — the backward re-runs the forward
+  flash-style (no [B,H,L,L] tensor; dropout masks regenerated
+  bit-identically from the same PRNG stream).
+* BACKWARD: one Pallas kernel per layer producing dx plus all 12 weight
+  gradients (f32 accumulators across the sequential grid; merged-contraction
+  dW at small Lp). The attention backward runs FULL-PRODUCT + WIDE by
+  default in both residual modes: dV/dK merge into one
+  [G, gh*t, gh*dh] product per (tile, head-group) whose diagonal blocks are
+  the per-head gradients, and the softmax backward runs as one block-matmul
+  drow + hi/lo lane expansion + one wide ds chain per tile
+  (_attention_bwd_fullprod; VITIQ_TRAIN_ATTNBWD=chain restores the per-head
+  chains).
 
 Gradient notes:
   - softmax runs in base 2 (exp2); d scores picks up the ln2 factor, which
