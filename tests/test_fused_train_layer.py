@@ -50,9 +50,13 @@ def test_forward_matches_xla_nodrop(Lx, n_head):
     {"VITIQ_TRAIN_STASH": "1", "VITIQ_TRAIN_FPV": "head"},
     # the chain stash FORWARD (xpack fwd is the default in-regime)
     {"VITIQ_TRAIN_STASH": "1", "VITIQ_TRAIN_FWD": "chain"},
+    # fullprod WITHOUT the block-diagonal dP/dQ scratch (auto=blk at Lp<=32)
+    {"VITIQ_TRAIN_FPA": "0"},
+    # the blk scratch forced (covers it at the Lp=136 two-tile geometry too)
+    {"VITIQ_TRAIN_FPA": "blk"},
 ], ids=["default", "pb_reuse", "epi_head", "dw_merged", "dw_batched",
         "stash", "recompute", "stash_chain", "stash_fpg2", "stash_fpvhead",
-        "stash_fwdchain"])
+        "stash_fwdchain", "fpa_off", "fpa_blk"])
 @pytest.mark.parametrize("Lx,n_head", [(17, 4), (129, 8)])
 def test_gradients_match_autodiff_nodrop(Lx, n_head, knobs, monkeypatch):
     """dx and every weight gradient vs jax autodiff of the XLA layer —

@@ -544,12 +544,16 @@ def _fwd_kernel_stash_xpack(
 def _bwd_kernel(
     seed_ref, x_ref, dy_ref, *rest,
     seq_len: int, n_head: int, drop: float, layer_idx: int,
-    stash: bool = False,
+    stash: bool = False, fpa_blk: bool = False,
 ):
     if stash:
         sb_ref, sf_ref, *rest = rest
     else:
         sb_ref = sf_ref = None
+    if fpa_blk:
+        *rest, blk_s = rest
+    else:
+        blk_s = None
     (wqkv_ref, bqkv_ref, wo_ref, bo_ref, g1_ref, be1_ref,
      w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
      dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg1_ref, dbe1_ref,
@@ -908,7 +912,64 @@ def _bwd_kernel(
                  * attn.astype(jnp.float32)).astype(x.dtype), blk,
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [G, Lq, H]
-        else:
+        if wide and blk_s is not None:
+            # VITIQ_TRAIN_FPA=blk: ONE block-diagonal scratch (serially
+            # reused for V then K — the h-th [Lp, dh] block is overwritten
+            # each grid step, off-block lanes stay zero from the one fill)
+            # collapses dP and dQ to single GEMMs and erases the tile loop:
+            # the whole attention backward is 5 GEMMs + 16 scratch writes.
+            @pl.when(pl.program_id(0) == 0)
+            def _zero_blk():
+                blk_s[:] = jnp.zeros_like(blk_s)
+
+            for h in range(n_head):
+                blk_s[:, h * lp:(h + 1) * lp, h * dh:(h + 1) * dh] = \
+                    heads[h][2]  # kv-masked V
+            # pbar head-major over the FULL key range
+            if stash_tiles:
+                pbar_full = jnp.concatenate(
+                    [t for h in range(n_head) for t in heads[h][5]],
+                    axis=-1)
+            else:
+                probs_hm = jnp.concatenate(
+                    [t for h in range(n_head) for t in heads[h][5]],
+                    axis=-1)
+                pbar_full = (probs_hm.astype(jnp.float32)
+                             / _den_expand(dens_cat, x.dtype, n_head, lp,
+                                           n_head * lp)).astype(x.dtype)
+            dp_full = jax.lax.dot_general(
+                dattn, blk_s[:],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # [G, Lq, H*Lp]
+            drow_exp = _den_expand(drow_cat, x.dtype, n_head, lp,
+                                   n_head * lp)
+            ds_full = (pbar_full.astype(jnp.float32)
+                       * (dp_full - drow_exp)).astype(x.dtype)
+            for h in range(n_head):
+                blk_s[:, h * lp:(h + 1) * lp, h * dh:(h + 1) * dh] = \
+                    heads[h][1]  # kv-masked K
+            dq_all = jax.lax.dot_general(
+                ds_full, blk_s[:],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * (_LN2 * scale2)
+            qs_full = jnp.concatenate(
+                [heads[h][0] for h in range(n_head)], axis=-1)
+            dv_out = jax.lax.dot_general(
+                pbar_full, dattn,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # [G, H*Lp, D]
+            dk_out = jax.lax.dot_general(
+                ds_full, qs_full,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dv_all = jnp.concatenate(
+                [dv_out[:, h * lp:(h + 1) * lp, h * dh:(h + 1) * dh]
+                 for h in range(n_head)], axis=-1)
+            dk_all = jnp.concatenate(
+                [dk_out[:, h * lp:(h + 1) * lp, h * dh:(h + 1) * dh]
+                 for h in range(n_head)], axis=-1) * _LN2
+            return jnp.concatenate([dq_all, dk_all, dv_all], axis=-1)
+        if not wide:
             drows = [jnp.sum(
                 dattn[:, :, h * dh:(h + 1) * dh].astype(jnp.float32)
                 * heads[h][4], axis=-1, keepdims=True)
@@ -1422,8 +1483,22 @@ def _fused_train_layer_bwd(n_head, drop, layer_idx, seq_len, res, dy):
             pl.BlockSpec((G, Lp, sf.shape[-1]), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
+    # VITIQ_TRAIN_FPA: one block-diagonal K/V scratch for the fullprod
+    # backward's single-GEMM dP/dQ (round 3ao on-chip ladder @ 8192:
+    # Lp=16 30.08 ms = 272.3K frames/s (+7.5%), Lp=32 +1.8%, Lp>=64
+    # neutral) — auto = blk in the measured-win regime; =blk forces,
+    # =0 disables.
+    _fpa_env = os.environ.get("VITIQ_TRAIN_FPA", "auto")
+    fpa_blk = ((_fpa_env == "blk" or (_fpa_env == "auto" and Lp <= 32))
+               and os.environ.get("VITIQ_TRAIN_ATTNBWD", "fullprod")
+               == "fullprod"
+               and os.environ.get("VITIQ_TRAIN_FPV", "wide") == "wide"
+               and _key_split(Lp, seq_len)[1] == 0)
+    blk_scratch = ([pltpu.VMEM((G, n_head * Lp, D), x.dtype)]
+                   if fpa_blk else [])
     kernel = functools.partial(_bwd_kernel, seq_len=seq_len, n_head=n_head,
-                               drop=drop, layer_idx=layer_idx, stash=stash)
+                               drop=drop, layer_idx=layer_idx, stash=stash,
+                               fpa_blk=fpa_blk)
     outs = _pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1432,7 +1507,8 @@ def _fused_train_layer_bwd(n_head, drop, layer_idx, seq_len, res, dy):
             in_specs=[data_block, data_block] + stash_specs
             + [rep(w.shape) for w in weights],
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM(w2d(w), jnp.float32) for w in weights],
+            scratch_shapes=[pltpu.VMEM(w2d(w), jnp.float32) for w in weights]
+            + blk_scratch,
         ),
         out_shape=out_shapes,
     )(jnp.asarray([seed], jnp.int32), xp, dyp, *stash_ins, *weights)
