@@ -50,6 +50,18 @@ def main() -> int:
         except Exception as e:
             print(f"seg64-mp secondary bench skipped ({type(e).__name__}: {e})",
                   file=sys.stderr)
+    # Secondary record: ViT-Tiny at the RadioML 2016.10a task (BASELINE
+    # config 2) — the ViT-arm geometry past the 1M north star (1.406M
+    # frames/s with the fused raw-frame embedding, round 3aq). Set
+    # VITIQ_BENCH_TINY=0 to skip.
+    if os.environ.get("VITIQ_BENCH_TINY", "1") != "0":
+        try:
+            tiny = bench_fused_infer("vit_tiny", 16384)
+            line["vit_tiny_frames_per_sec"] = tiny["value"]
+            line["vit_tiny_vs_baseline"] = tiny["value"] / TARGET_FPS
+        except Exception as e:
+            print(f"vit_tiny secondary bench skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
     # Secondary record: the fused TRAIN step at the same mean-pool geometry
     # (fwd+bwd+AdamW; stash backward, G=40, amortized async-queue timing —
     # docs/BENCHMARKS.md rounds 3w-3z). vs_reference_gpu is against the

@@ -103,7 +103,18 @@ def main() -> int:
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (B, cfg_tpu.seq_length, 2)), jnp.float32)
 
-    fused = jax.jit(lambda p, x: make_forward(cfg_tpu)(p, pre(x), train=False))
+    # the tpu side runs exactly what production serving would run for this
+    # config — including the fused raw-frame embedding when its auto gate
+    # (vitiq/models/raw_embed.py) selects it; the reference side is always
+    # the unfused f32 chain (the parity target)
+    from vitiq.models.raw_embed import fused_raw_embed_enabled
+
+    if fused_raw_embed_enabled(cfg_tpu):
+        which = f"{which}+rawembed"
+        fwd_raw = make_forward(cfg_tpu, raw_stats=FLAGSHIP_STATS)
+        fused = jax.jit(lambda p, x: fwd_raw(p, x, train=False))
+    else:
+        fused = jax.jit(lambda p, x: make_forward(cfg_tpu)(p, pre(x), train=False))
     ref = jax.jit(lambda p, x: make_forward(cfg_ref)(p, pre(x), train=False))
     a = np.asarray(fused(params, x))
     b = np.asarray(ref(params, x))

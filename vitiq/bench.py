@@ -134,6 +134,25 @@ ARM_CONFIGS = {
 }
 
 
+def _forward_and_pre(cfg):
+    """Forward + preprocess pair for a bench arm. When the fused raw
+    embedding is enabled (VITIQ_FUSED_EMBED, default on under 'tpu'
+    numerics), preprocessing folds into the embedding GEMM and the
+    preprocess step is the identity (the forward consumes raw frames)."""
+    from vitiq.models.raw_embed import fused_raw_embed_enabled
+
+    if fused_raw_embed_enabled(cfg):
+        return make_forward(cfg, raw_stats=FLAGSHIP_STATS), (lambda x: x)
+    fwd = make_forward(cfg)
+    if cfg.arm == "vit":
+        pre = lambda x: preprocess_batch_vit(x, FLAGSHIP_STATS,
+                                             H=cfg.img_size_h,
+                                             W=cfg.img_size_w)
+    else:
+        pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
+    return fwd, pre
+
+
 def _default_batch() -> int:
     # measured batch scaling on the flagship (v5e): 109.2K frames/s @ 8192,
     # 111.8K @ 16384, 112.7K @ 32768 — 16K sits at the knee of the
@@ -199,13 +218,7 @@ def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
 
         cfg = replace(cfg, n_head=n_head)
     params = init_amc_params(jax.random.PRNGKey(0), cfg)
-    fwd = make_forward(cfg)
-    if cfg.arm == "vit":
-        pre = lambda x: preprocess_batch_vit(x, FLAGSHIP_STATS,
-                                             H=cfg.img_size_h,
-                                             W=cfg.img_size_w)
-    else:
-        pre = lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS)
+    fwd, pre = _forward_and_pre(cfg)
 
     def infer(i, params, x):
         xi = x + i.astype(x.dtype) * 1e-6  # defeat loop-invariant hoisting
@@ -279,11 +292,7 @@ def bench_train_step(arm: str = "vit", batch_size: Optional[int] = None,
     cfg = ARM_CONFIGS[arm](numerics)
     tcfg = TrainConfig(batch_size=batch_size)
     params = init_amc_params(jax.random.PRNGKey(0), cfg)
-    fwd = make_forward(cfg)
-    pre = (lambda x: preprocess_batch_vit(
-        x, FLAGSHIP_STATS, H=cfg.img_size_h, W=cfg.img_size_w)
-    ) if cfg.arm == "vit" else (
-        lambda x: preprocess_batch_rawiq(x, FLAGSHIP_STATS))
+    fwd, pre = _forward_and_pre(cfg)
     tx = make_optimizer(tcfg)
     state = create_train_state(params, tcfg)
     step = make_train_step(fwd, tx, tcfg.label_smoothing, pre)

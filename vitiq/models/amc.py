@@ -37,11 +37,16 @@ def init_amc_params(rng, cfg: ModelConfig):
     return params
 
 
-def make_forward(cfg: ModelConfig, attention_fn: Optional[Callable] = None):
+def make_forward(cfg: ModelConfig, attention_fn: Optional[Callable] = None,
+                 raw_stats=None):
     """Build the jittable forward pass for `cfg`.
 
     Returns fn(params, src, train=False, rng=None) -> logits [B, num_classes].
-    src is [B, 1, 32, 64] for the ViT arm, [B, 2, seq_length] for rawIQ.
+    src is [B, 1, 32, 64] for the ViT arm, [B, 2, seq_length] for rawIQ —
+    or the RAW [B, seq_length, 2] frame batch when `raw_stats` (the i/q
+    mean/std dict) is given: preprocessing then fuses into the embedding
+    GEMM (vitiq/models/raw_embed.py) and no separate preprocess step is
+    needed.
     """
     cfg.validate()
     policy = policy_for(cfg.numerics)
@@ -61,6 +66,7 @@ def make_forward(cfg: ModelConfig, attention_fn: Optional[Callable] = None):
         x = encoder_apply(
             params["encoder"], src, cfg, policy, train=train, rng=rng,
             attention_fn=attention_fn, cls_only_fused=cls_only,
+            raw_stats=raw_stats,
         )
         if cfg.arm == "vit":
             feat = x[:, 0]

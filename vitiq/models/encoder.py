@@ -64,33 +64,45 @@ def encoder_apply(
     mask=None,
     attention_fn=scaled_dot_product_attention,
     cls_only_fused: bool = False,
+    raw_stats=None,
 ):
     """Returns the full token sequence [B, L, d_model].
 
     cls_only_fused: the caller consumes ONLY token 0 (CLS pooling) — the
     fused serving path then computes just the CLS row of the final layer
     (~1/18 of a full layer) and returns [B, 1, d_model]. Ignored off the
-    fused path."""
-    expected_rank = 4 if cfg.arm == "vit" else 3
-    if src.ndim != expected_rank:
-        raise ValueError(
-            f"{cfg.arm} arm expects rank-{expected_rank} input "
-            f"({'[B, C, H, W]' if cfg.arm == 'vit' else '[B, C, L]'}), "
-            f"got shape {src.shape}"
-        )
-    if cfg.arm == "vit":
-        x = emb.patch_embed_2d_apply(params["embedding"], src, cfg.patch_size, policy)
-    else:
-        x = emb.sequence_embed_apply(
-            params["embedding"], src, cfg.embedding_type, cfg.segment_size, policy
-        )
-    if "cls_token" in params:
-        cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (x.shape[0], 1, x.shape[2]))
-        x = jnp.concatenate([cls, x], axis=1)
+    fused path.
 
-    # PE table sized exactly to the token count, as the reference computes
-    # max_len = num_patches + 1 (ViT/models/encoder.py:21-23)
-    x = emb.add_positional_encoding(x, cfg.num_tokens)
+    raw_stats: when given (the i/q mean/std dict), `src` is the RAW
+    [B, L, 2] frame batch and preprocess + embed + CLS + PE run as ONE
+    fused GEMM (vitiq/models/raw_embed.py) — no image/segment fold, no
+    padded small-minor-dim intermediates, no fold recompute in the
+    backward."""
+    if raw_stats is not None:
+        from vitiq.models.raw_embed import fused_raw_embed_apply
+
+        x = fused_raw_embed_apply(params, src, cfg, raw_stats, policy)
+    else:
+        expected_rank = 4 if cfg.arm == "vit" else 3
+        if src.ndim != expected_rank:
+            raise ValueError(
+                f"{cfg.arm} arm expects rank-{expected_rank} input "
+                f"({'[B, C, H, W]' if cfg.arm == 'vit' else '[B, C, L]'}), "
+                f"got shape {src.shape}"
+            )
+        if cfg.arm == "vit":
+            x = emb.patch_embed_2d_apply(params["embedding"], src, cfg.patch_size, policy)
+        else:
+            x = emb.sequence_embed_apply(
+                params["embedding"], src, cfg.embedding_type, cfg.segment_size, policy
+            )
+        if "cls_token" in params:
+            cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (x.shape[0], 1, x.shape[2]))
+            x = jnp.concatenate([cls, x], axis=1)
+
+        # PE table sized exactly to the token count, as the reference computes
+        # max_len = num_patches + 1 (ViT/models/encoder.py:21-23)
+        x = emb.add_positional_encoding(x, cfg.num_tokens)
 
     if train and rng is not None:
         rngs = jax.random.split(rng, cfg.n_layers + 1)

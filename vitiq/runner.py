@@ -53,6 +53,20 @@ def build_preprocess(cfg: ExperimentConfig, stats: Dict[str, float]) -> Callable
     return lambda x: arm_pre(preprocess_batch_sps(x, sps, method=method))
 
 
+def build_forward_and_preprocess(cfg: ExperimentConfig, stats: Dict[str, float]):
+    """(forward, preprocess) for the experiment. When the fused raw
+    embedding applies (iq features, sps=1, VITIQ_FUSED_EMBED gate —
+    vitiq/models/raw_embed.py), preprocessing folds into the embedding
+    GEMM: the forward consumes raw [B, L, 2] frames and preprocess is the
+    identity. Every other mode keeps the preprocess -> forward split."""
+    from vitiq.models.raw_embed import fused_raw_embed_enabled
+
+    if (cfg.data.sps <= 1 and cfg.data.features == "iq"
+            and fused_raw_embed_enabled(cfg.model)):
+        return make_forward(cfg.model, raw_stats=stats), (lambda x: x)
+    return make_forward(cfg.model), build_preprocess(cfg, stats)
+
+
 def _build_arm_preprocess(cfg: ExperimentConfig, stats: Dict[str, float]) -> Callable:
     if cfg.model.arm == "vit":
         if cfg.data.features == "spectrogram":
@@ -192,9 +206,7 @@ def run_training(
 
     feeds, stats, class_names = load_experiment_feeds(cfg)
     (exp_dir / "normalization_stats.json").write_text(json.dumps(stats, indent=2))
-    preprocess = build_preprocess(cfg, stats)
-
-    fwd = make_forward(cfg.model)
+    fwd, preprocess = build_forward_and_preprocess(cfg, stats)
     params = init_amc_params(jax.random.PRNGKey(cfg.train.init_seed), cfg.model)
     if verbose:
         print(f"model: {cfg.model.arm}, {count_parameters(params):,} parameters")
@@ -373,7 +385,6 @@ def run_evaluation(
     if stats_file.exists():
         stats = json.loads(stats_file.read_text())
 
-    preprocess = build_preprocess(cfg, stats)
     template = init_amc_params(jax.random.PRNGKey(cfg.train.init_seed), cfg.model)
     weights = exp_dir / "model_best.npz"
     if not weights.exists():
@@ -390,8 +401,9 @@ def run_evaluation(
         qfwd = make_quantized_forward(cfg.model)
         fwd = lambda p, x, train=False, rng=None: qfwd(p, x)
         prefix = f"{dataset}_int8"
+        preprocess = build_preprocess(cfg, stats)  # quant fwd is not raw-aware
     else:
-        fwd = make_forward(cfg.model)
+        fwd, preprocess = build_forward_and_preprocess(cfg, stats)
 
     from vitiq.eval import evaluate_feed_with_confusion
     try:

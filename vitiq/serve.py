@@ -44,11 +44,9 @@ def build_serving_fn(cfg: ExperimentConfig, params, stats: Dict[str, float]):
     build_preprocess) with the weights closed over, so the exported program
     is self-contained.
     """
-    from vitiq.models import make_forward
-    from vitiq.runner import build_preprocess
+    from vitiq.runner import build_forward_and_preprocess
 
-    pre = build_preprocess(cfg, stats)
-    fwd = make_forward(cfg.model)
+    fwd, pre = build_forward_and_preprocess(cfg, stats)
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
     def serve(x):
