@@ -54,9 +54,16 @@ def test_forward_matches_xla_nodrop(Lx, n_head):
     {"VITIQ_TRAIN_FPA": "0"},
     # the blk scratch forced (covers it at the Lp=136 two-tile geometry too)
     {"VITIQ_TRAIN_FPA": "blk"},
+    # packed dW full product (round 3ar): p1 packs [x|attn|x1]^T@[dqkv|da|
+    # dpre]; full folds dw2 in; 0 pins the four separate per-site GEMMs
+    {"VITIQ_TRAIN_DWPACK": "p1"},
+    {"VITIQ_TRAIN_DWPACK": "full"},
+    {"VITIQ_TRAIN_DWPACK": "0"},
+    {"VITIQ_TRAIN_STASH": "0", "VITIQ_TRAIN_DWPACK": "p1"},
 ], ids=["default", "pb_reuse", "epi_head", "dw_merged", "dw_batched",
         "stash", "recompute", "stash_chain", "stash_fpg2", "stash_fpvhead",
-        "stash_fwdchain", "fpa_off", "fpa_blk"])
+        "stash_fwdchain", "fpa_off", "fpa_blk", "dwpack_p1", "dwpack_full",
+        "dwpack_off", "dwpack_recompute"])
 @pytest.mark.parametrize("Lx,n_head", [(17, 4), (129, 8)])
 def test_gradients_match_autodiff_nodrop(Lx, n_head, knobs, monkeypatch):
     """dx and every weight gradient vs jax autodiff of the XLA layer —

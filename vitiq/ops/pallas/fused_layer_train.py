@@ -144,6 +144,23 @@ def _stash_enabled(lp: int, seq_len: int, n_head: int, d: int) -> bool:
     return lp <= 64 and d <= 128
 
 
+def _dwpack_mode(lp: int, seq_len: int, n_head: int, d: int) -> str:
+    """VITIQ_TRAIN_DWPACK: merge the D-wide dW contractions into one full
+    product per grid step (see the _bwd_kernel pack block). Returns one of
+    '0' (four separate dW GEMMs), 'p1' ([x|attn|x1] pack, dw2 separate) or
+    'full' (dw2 folded in too; +2.6 MB f32 accumulator). auto = '0': the
+    pack MEASURED NEGATIVE on chip (round 3as) — its f32 accumulator costs
+    a stash-G rung (p1 OOMs G=40 by 1.39 MB; at G=36/32 seg-64 mp runs
+    33.74/32.32 ms vs 29.46 baseline, and vit_tiny p1 is neutral at its
+    rung), so the ~5 us/GEMM dW serialization saving never pays for the
+    grid-amortization loss. Env-forceable for probes; CI keeps all three
+    modes gradient-correct."""
+    env = os.environ.get("VITIQ_TRAIN_DWPACK", "auto")
+    if env in ("0", "p1", "full"):
+        return env
+    return "0"
+
+
 def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False,
                    force_probs=False):
     """Shared fwd attention (v3 structure) on a [G, Lp, 3D] qkv block.
@@ -544,12 +561,16 @@ def _fwd_kernel_stash_xpack(
 def _bwd_kernel(
     seed_ref, x_ref, dy_ref, *rest,
     seq_len: int, n_head: int, drop: float, layer_idx: int,
-    stash: bool = False, fpa_blk: bool = False,
+    stash: bool = False, fpa_blk: bool = False, dwpack: str = "0",
 ):
     if stash:
         sb_ref, sf_ref, *rest = rest
     else:
         sb_ref = sf_ref = None
+    if dwpack != "0":  # pack scratch is appended last (after blk_s)
+        *rest, pack_s = rest
+    else:
+        pack_s = None
     if fpa_blk:
         *rest, blk_s = rest
     else:
@@ -621,10 +642,15 @@ def _bwd_kernel(
             ref[:] = acc[:]
 
     if probe == "kernoff":
-        for ref in (dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg1_ref,
-                    dbe1_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                    dg2_ref, dbe2_ref):
-            emit(ref, jnp.zeros(_scratch[id(ref)].shape, jnp.float32))
+        # direct ref writes (not emit): under dwpack the packed weights'
+        # per-ref scratches are (1,1) dummies, so emit() would shape-clash
+        @pl.when(last)
+        def _():
+            for ref in (dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg1_ref,
+                        dbe1_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                        dg2_ref, dbe2_ref):
+                ref[:] = jnp.zeros(ref.shape, jnp.float32)
+
         dx_ref[:] = dy.astype(dx_ref.dtype)
         return
 
@@ -804,11 +830,14 @@ def _bwd_kernel(
 
     if probe == "fwdonly":
         # TIMING-ONLY: the recompute ran; skip the whole backward (zero
-        # grads, dx := dy) to bound the recompute's share of this kernel
-        for ref in (dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg1_ref,
-                    dbe1_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                    dg2_ref, dbe2_ref):
-            emit(ref, jnp.zeros(_scratch[id(ref)].shape, jnp.float32))
+        # grads, dx := dy) to bound the recompute's share of this kernel.
+        # Direct ref writes (not emit): see the kernoff note above.
+        @pl.when(last)
+        def _():
+            for ref in (dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg1_ref,
+                        dbe1_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                        dg2_ref, dbe2_ref):
+                ref[:] = jnp.zeros(ref.shape, jnp.float32)
         # xh2 transitively depends on the ENTIRE recompute chain — adding it
         # keeps the recompute alive against dead-code elimination
         dx_ref[:] = (dy + xh2).astype(dx_ref.dtype)
@@ -825,7 +854,8 @@ def _bwd_kernel(
 
     # FFN linear2
     dfb = df.astype(x.dtype)
-    emit(dw2_ref, dw_gemm(h, dfb))
+    if dwpack != "full":
+        emit(dw2_ref, dw_gemm(h, dfb))
     emit(db2_ref, jnp.sum(df, axis=(0, 1))[None, :])
     dhd = jax.lax.dot_general(
         dfb, w2_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
@@ -834,7 +864,8 @@ def _bwd_kernel(
     dpre = jnp.where(pre > 0.0, dh_, 0.0)
 
     dpreb = dpre.astype(x.dtype)
-    emit(dw1_ref, dw_gemm(x1, dpreb))
+    if dwpack == "0":
+        emit(dw1_ref, dw_gemm(x1, dpreb))
     emit(db1_ref, jnp.sum(dpre, axis=(0, 1))[None, :])
     dx1 = dx1 + jax.lax.dot_general(
         dpreb, w1_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
@@ -850,7 +881,8 @@ def _bwd_kernel(
 
     # output projection
     dab = da.astype(x.dtype)
-    emit(dwo_ref, dw_gemm(attn, dab))
+    if dwpack == "0":
+        emit(dwo_ref, dw_gemm(attn, dab))
     emit(dbo_ref, jnp.sum(da, axis=(0, 1))[None, :])
     dattn = jax.lax.dot_general(
         dab, wo_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
@@ -1229,7 +1261,44 @@ def _bwd_kernel(
         dqkv = jnp.where(rowq < seq_len, dqkv, 0.0)
 
     dqkvb = dqkv.astype(x.dtype)
-    emit(dwqkv_ref, dw_gemm(x, dqkvb))
+    if dwpack == "0":
+        emit(dwqkv_ref, dw_gemm(x, dqkvb))
+    else:
+        # VITIQ_TRAIN_DWPACK (round 3ar): the D-wide dW contractions all
+        # share the same [G*Lp] contraction dim, so they merge into ONE
+        # full product [x|attn|x1]^T @ [dqkv|da|dpre] whose DIAGONAL
+        # blocks are the per-weight grads (identical arithmetic; the
+        # off-diagonal MACs are discarded — MXU arithmetic is ~400x
+        # cheaper than the measured ~5 us/GEMM serialization tax at
+        # seg-64 mp G=40, where the four separate dW GEMMs cost 4.12 ms
+        # of the 29.4 ms step). 'full' folds in h^T@df too (dw2), at
+        # +2.6 MB of f32 accumulator. One accumulator add per step
+        # replaces three (four) scratch read-add-writes; the diagonal
+        # blocks are sliced out once at the last grid step.
+        acts_p = [x, attn, x1]
+        grads_p = [dqkvb, dab, dpreb]
+        if dwpack == "full":
+            acts_p.append(h)
+            grads_p.append(dfb)
+        pk = dw_gemm(jnp.concatenate(acts_p, axis=-1),
+                     jnp.concatenate(grads_p, axis=-1))
+
+        @pl.when(first)
+        def _():
+            pack_s[:] = pk
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            pack_s[:] = pack_s[:] + pk
+
+        @pl.when(last)
+        def _():
+            dwqkv_ref[:] = pack_s[0:d, 0:3 * d]
+            dwo_ref[:] = pack_s[d:2 * d, 3 * d:4 * d]
+            dw1_ref[:] = pack_s[2 * d:3 * d, 4 * d:4 * d + hwidth]
+            if dwpack == "full":
+                dw2_ref[:] = pack_s[3 * d:3 * d + hwidth,
+                                    4 * d + hwidth:5 * d + hwidth]
     emit(dbqkv_ref, jnp.sum(dqkv, axis=(0, 1))[None, :])
     dx = dx + jax.lax.dot_general(
         dqkvb, wqkv_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
@@ -1496,9 +1565,28 @@ def _fused_train_layer_bwd(n_head, drop, layer_idx, seq_len, res, dy):
                and _key_split(Lp, seq_len)[1] == 0)
     blk_scratch = ([pltpu.VMEM((G, n_head * Lp, D), x.dtype)]
                    if fpa_blk else [])
+    # VITIQ_TRAIN_DWPACK: one packed f32 accumulator replaces the packed
+    # weights' per-ref scratches (their slots shrink to (1,1) dummies so
+    # the kernel's positional parse stays fixed); appended LAST so the
+    # kernel pops it before blk_s.
+    dwpack = _dwpack_mode(Lp, seq_len, n_head, D)
+    hw = weights[6].shape[1]
+    packed_idx = {0, 2, 6} | ({8} if dwpack == "full" else set())
+    if dwpack == "full":
+        pack_scratch = [pltpu.VMEM((3 * D + hw, 5 * D + hw), jnp.float32)]
+    elif dwpack == "p1":
+        pack_scratch = [pltpu.VMEM((3 * D, 4 * D + hw), jnp.float32)]
+    else:
+        pack_scratch = []
+
+    def wscratch(i, w):
+        if pack_scratch and i in packed_idx:
+            return pltpu.VMEM((1, 1), jnp.float32)
+        return pltpu.VMEM(w2d(w), jnp.float32)
+
     kernel = functools.partial(_bwd_kernel, seq_len=seq_len, n_head=n_head,
                                drop=drop, layer_idx=layer_idx, stash=stash,
-                               fpa_blk=fpa_blk)
+                               fpa_blk=fpa_blk, dwpack=dwpack)
     outs = _pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1507,8 +1595,8 @@ def _fused_train_layer_bwd(n_head, drop, layer_idx, seq_len, res, dy):
             in_specs=[data_block, data_block] + stash_specs
             + [rep(w.shape) for w in weights],
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM(w2d(w), jnp.float32) for w in weights]
-            + blk_scratch,
+            scratch_shapes=[wscratch(i, w) for i, w in enumerate(weights)]
+            + blk_scratch + pack_scratch,
         ),
         out_shape=out_shapes,
     )(jnp.asarray([seed], jnp.int32), xp, dyp, *stash_ins, *weights)
