@@ -188,6 +188,100 @@ def test_two_layer_stack_chains():
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+@pytest.mark.parametrize("lpc", [2, 3])
+@pytest.mark.parametrize("Lx", [16, 17])
+def test_stacked_lpc_gradients_match_autodiff(Lx, lpc, monkeypatch):
+    """VITIQ_TRAIN_LPC>1 chains the per-layer stash-xpack fwd and stash bwd
+    bodies through VMEM inside ONE pallas call per chunk (round 3au —
+    attacks the 14.3 ms out-of-kernel floor the 3at decomposition measured).
+    Layer i>0's backward input is reconstructed from layer i-1's stashed
+    LN2 (y = g2*xh2 + be2); this must reproduce autodiff exactly, for both
+    even (3 = 2+1 chunks) and whole-stack (3 = one call) splits."""
+    monkeypatch.setenv("VITIQ_TRAIN_LPC", str(lpc))
+    n_head = 8
+    plist = [L.encoder_layer_init(jax.random.PRNGKey(i), 128, 256)
+             for i in range(3)]
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, Lx, 128)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((2, Lx, 128)), jnp.float32)
+
+    def xla_stack(plist, x):
+        for p in plist:
+            x = _xla_layer(p, x, n_head)
+        return x
+
+    def loss_ref(plist, x):
+        return jnp.sum((xla_stack(plist, x) - tgt) ** 2)
+
+    def loss_fused(plist, x):
+        y = fused_train_layer_stack(x, plist, n_head, 0.0, 7)
+        return jnp.sum((y - tgt) ** 2)
+
+    ref_l = loss_ref(plist, x)
+    ref_gp, ref_gx = jax.grad(loss_ref, argnums=(0, 1))(plist, x)
+    with pltpu.force_tpu_interpret_mode():
+        fused_l = loss_fused(plist, x)
+        got_gp, got_gx = jax.grad(loss_fused, argnums=(0, 1))(plist, x)
+    np.testing.assert_allclose(float(fused_l), float(ref_l), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_gx), np.asarray(ref_gx),
+                               atol=2e-3, rtol=1e-3)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_gp)
+    flat_got = jax.tree_util.tree_leaves(got_gp)
+    for (path, a), b in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-3, rtol=1e-3,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_stacked_lpc_accumulates_across_grid_blocks(monkeypatch):
+    """Stacked-call weight-grad accumulators must survive multiple grid
+    steps, like the per-layer path's (batch 40 > G forces a multi-step
+    grid in interpreter mode too)."""
+    monkeypatch.setenv("VITIQ_TRAIN_LPC", "2")
+    monkeypatch.setenv("VITIQ_TRAIN_G", "8")
+    n_head = 8
+    plist = [L.encoder_layer_init(jax.random.PRNGKey(i), 128, 256)
+             for i in range(2)]
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((40, 16, 128)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((40, 16, 128)), jnp.float32)
+
+    def loss_ref(plist):
+        y = x
+        for p in plist:
+            y = _xla_layer(p, y, n_head)
+        return jnp.mean((y - tgt) ** 2)
+
+    def loss_fused(plist):
+        y = fused_train_layer_stack(x, plist, n_head, 0.0, 7)
+        return jnp.mean((y - tgt) ** 2)
+
+    ref_g = jax.grad(loss_ref)(plist)
+    with pltpu.force_tpu_interpret_mode():
+        got_g = jax.grad(loss_fused)(plist)
+    for a, b in zip(jax.tree_util.tree_leaves(got_g),
+                    jax.tree_util.tree_leaves(ref_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_lpc_mode_gating(monkeypatch):
+    """Forced LPC only engages where the stacked wrappers are correct
+    (stash regime + xpack fwd + no tail + dwpack 0 + n_head*Lp<=512);
+    auto stays 1 pending the on-chip ladder."""
+    monkeypatch.delenv("VITIQ_TRAIN_LPC", raising=False)
+    from vitiq.ops.pallas.fused_layer_train import _lpc_mode
+    assert _lpc_mode(6, 16, 16, 8, 128, 2) == 1          # auto = per-layer
+    monkeypatch.setenv("VITIQ_TRAIN_LPC", "3")
+    assert _lpc_mode(6, 16, 16, 8, 128, 2) == 3          # forced, eligible
+    assert _lpc_mode(6, 144, 129, 8, 128, 2) == 1        # big Lp: no stash
+    monkeypatch.setenv("VITIQ_TRAIN_FWD", "chain")
+    assert _lpc_mode(6, 16, 16, 8, 128, 2) == 1          # chain fwd: no
+    monkeypatch.delenv("VITIQ_TRAIN_FWD", raising=False)
+    monkeypatch.setenv("VITIQ_TRAIN_DWPACK", "p1")
+    assert _lpc_mode(6, 16, 16, 8, 128, 2) == 1          # dwpack: no
+
+
 def test_gradients_accumulate_across_grid_blocks():
     """Weight grads accumulate in VMEM scratch across MULTIPLE sequential
     grid steps (the single-block tests can't catch broken cross-block

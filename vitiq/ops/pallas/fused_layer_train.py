@@ -1614,6 +1614,272 @@ def _fused_train_layer_bwd(n_head, drop, layer_idx, seq_len, res, dy):
 _fused_train_layer.defvjp(_fused_train_layer_fwd, _fused_train_layer_bwd)
 
 
+# --------------------------------------------------------------------------
+# layer-stacked train calls (VITIQ_TRAIN_LPC, round 3au)
+#
+# The round-3at amortized decomposition showed the seg-64 mp step is HALF
+# fixed floor: with both kernel bodies stubbed the step still costs 14.3 ms
+# of 29.6 (and the REAL forward measures the same as the stub — its compute
+# is entirely hidden under DMA/grid overhead). The G ladder's arithmetic
+# prices that floor at ~4.7 us per grid step, and a step at G=40 runs
+# 12 pallas calls x 205 grid steps. Stacking LPC layers per call divides
+# the call count (and the inter-layer y->x HBM round trips) by LPC at the
+# cost of per-layer stash blocks + weight copies + grad accumulators all
+# resident at once, which lowers the feasible G. The wrappers below chain
+# the EXISTING per-layer kernel bodies through in-VMEM values (_VRef), so
+# the per-layer math, dropout seeding (re-seeded per layer_idx, masks
+# bit-identical to the per-layer path) and probe knobs are shared, not
+# forked. Layer i>0's input is reconstructed from layer i-1's stash
+# (x_i = g2*xh2 + be2 — exact in f32, 1-ulp in bf16), so stacking stores
+# nothing the stash didn't already hold.
+# --------------------------------------------------------------------------
+
+
+class _VRef:
+    """Value adapter with the tiny ref protocol the kernel bodies use
+    (.shape/.dtype, [:] reads, [:] writes) so the stacked wrapper kernels
+    can chain the per-layer bodies through VMEM values instead of HBM."""
+
+    __slots__ = ("val", "shape", "dtype")
+
+    def __init__(self, val=None, shape=None, dtype=None):
+        self.val = val
+        self.shape = val.shape if val is not None else shape
+        self.dtype = val.dtype if val is not None else dtype
+
+    def __getitem__(self, idx):
+        return self.val[idx]
+
+    def __setitem__(self, idx, v):
+        # the bodies only ever write the full block
+        self.val = v
+        self.shape = v.shape
+        self.dtype = v.dtype
+
+
+def _fwd_kernel_stash_stacked(
+    seed_ref, x_ref, *rest,
+    seq_len: int, n_head: int, drop: float, layer_base: int, n_layers: int,
+):
+    nl = n_layers
+    wrefs = rest[:12 * nl]
+    y_ref = rest[12 * nl]
+    sb_refs = rest[12 * nl + 1:12 * nl + 1 + nl]
+    sf_refs = rest[12 * nl + 1 + nl:12 * nl + 1 + 2 * nl]
+    kp_s, vp_s = rest[-2:]
+    xv = x_ref[:]
+    for i in range(nl):
+        yv = _VRef(shape=xv.shape, dtype=y_ref.dtype)
+        _fwd_kernel_stash_xpack(
+            seed_ref, _VRef(xv), *wrefs[12 * i:12 * (i + 1)],
+            yv, sb_refs[i], sf_refs[i], kp_s, vp_s,
+            seq_len=seq_len, n_head=n_head, drop=drop,
+            layer_idx=layer_base + i)
+        xv = yv.val
+    y_ref[:] = xv
+
+
+def _bwd_kernel_stacked(
+    seed_ref, x0_ref, dy_ref, *rest,
+    seq_len: int, n_head: int, drop: float, layer_base: int, n_layers: int,
+    fpa_blk: bool,
+):
+    nl = n_layers
+    sb_refs = rest[:nl]
+    sf_refs = rest[nl:2 * nl]
+    wrefs = rest[2 * nl:2 * nl + 12 * nl]
+    dx_ref = rest[2 * nl + 12 * nl]
+    grefs = rest[2 * nl + 12 * nl + 1:2 * nl + 24 * nl + 1]
+    arefs = rest[2 * nl + 24 * nl + 1:2 * nl + 36 * nl + 1]
+    blk = [rest[-1]] if fpa_blk else []
+    d = x0_ref.shape[-1]
+    dyv = dy_ref[:]
+    for i in range(nl - 1, -1, -1):
+        if i == 0:
+            xv = x0_ref[:]
+        else:
+            # layer i's input = layer i-1's output, reconstructed from its
+            # stashed LN2 normalization (y = g2*xh2 + be2)
+            pw = wrefs[12 * (i - 1):12 * i]
+            xh2 = sb_refs[i - 1][:, :, 2 * d:3 * d].astype(jnp.float32)
+            xv = (pw[10][:] * xh2 + pw[11][:]).astype(x0_ref.dtype)
+        dxv = _VRef(shape=xv.shape, dtype=x0_ref.dtype)
+        _bwd_kernel(
+            seed_ref, _VRef(xv), _VRef(dyv), sb_refs[i], sf_refs[i],
+            *wrefs[12 * i:12 * (i + 1)], dxv, *grefs[12 * i:12 * (i + 1)],
+            *arefs[12 * i:12 * (i + 1)], *blk,
+            seq_len=seq_len, n_head=n_head, drop=drop,
+            layer_idx=layer_base + i, stash=True, fpa_blk=fpa_blk,
+            dwpack="0")
+        dyv = dxv.val
+    dx_ref[:] = dyv
+
+
+def _lpc_mode(n_layers: int, lp: int, seq_len: int, n_head: int,
+              d: int, itemsize: int) -> int:
+    """VITIQ_TRAIN_LPC: layers per pallas call for the stacked train path.
+    Eligibility = the stash + xpack-forward regime (Lp<=64, d<=128,
+    n_head*Lp<=512, no key tail) with the default DWPACK=0. auto=1 until
+    the on-chip ladder (round 3au) certifies a default."""
+    env = os.environ.get("VITIQ_TRAIN_LPC", "auto")
+    # structural = what the stacked wrappers require to be CORRECT;
+    # bf16 (itemsize==2) is only an auto-default condition (the VMEM
+    # rungs are sized for it), so forced f32 interpreter tests still run.
+    structural = (
+        _stash_enabled(lp, seq_len, n_head, d)
+        and os.environ.get("VITIQ_TRAIN_FWD", "xpack") == "xpack"
+        and n_head * lp <= 512
+        and _key_split(lp, seq_len) == (lp, 0)
+        and _dwpack_mode(lp, seq_len, n_head, d) == "0"
+    )
+    if env != "auto":
+        lpc = max(1, int(env))
+        return lpc if (lpc == 1 or structural) else 1
+    return 1  # auto stays per-layer until the round-3au chip ladder rules
+
+
+def _pick_g_stacked(Lp: int, D: int, H: int, itemsize: int, nl: int) -> int:
+    """Block size for the stacked calls (both passes share it — dropout
+    masks are seeded per grid block). The single-layer stash rungs shrink
+    with nl because each grid step now holds nl layers' stash blocks
+    (double-buffered), weights and grad accumulators. Rungs below are
+    PLANNING estimates pending the round-3au ladder; VITIQ_TRAIN_G
+    overrides for probes."""
+    g_env = int(os.environ.get("VITIQ_TRAIN_G", "0"))
+    if g_env:
+        return g_env
+    if Lp <= 16:
+        return {1: 40, 2: 32, 3: 24}.get(nl, 16)
+    if Lp <= 32:
+        return {1: 16, 2: 12, 3: 8, 4: 8}.get(nl, 4)
+    return {1: 8, 2: 4}.get(nl, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused_train_chunk(n_head, drop, layer_base, seq_len, n_layers,
+                       seed, x, *weights):
+    y, _ = _fused_train_chunk_fwd(n_head, drop, layer_base, seq_len,
+                                  n_layers, seed, x, *weights)
+    return y
+
+
+def _fused_train_chunk_fwd(n_head, drop, layer_base, seq_len, n_layers,
+                           seed, x, *weights):
+    B, L, D = x.shape
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    Lp = _round_up(L, sublane)
+    H = weights[6].shape[1]
+    G = _pick_g_stacked(Lp, D, H, x.dtype.itemsize, n_layers)
+    Bp = _round_up(B, G)
+    xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
+    wb = 3 * D + n_head * Lp
+
+    data_block = pl.BlockSpec((G, Lp, D), lambda i, s: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    def rep(shape):
+        return pl.BlockSpec(shape, lambda i, s: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_fwd_kernel_stash_stacked, seq_len=seq_len,
+                               n_head=n_head, drop=drop,
+                               layer_base=layer_base, n_layers=n_layers)
+    outs = _pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bp // G,),
+            in_specs=[data_block] + [rep(w.shape) for w in weights],
+            out_specs=[data_block]
+            + [pl.BlockSpec((G, Lp, wb), lambda i, s: (i, 0, 0),
+                            memory_space=pltpu.VMEM)] * n_layers
+            + [pl.BlockSpec((G, Lp, 8), lambda i, s: (i, 0, 0),
+                            memory_space=pltpu.VMEM)] * n_layers,
+            scratch_shapes=[pltpu.VMEM((G, n_head * Lp, D), x.dtype),
+                            pltpu.VMEM((G, n_head * Lp, D), x.dtype)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype)]
+        + [jax.ShapeDtypeStruct((Bp, Lp, wb), x.dtype)] * n_layers
+        + [jax.ShapeDtypeStruct((Bp, Lp, 8), jnp.float32)] * n_layers,
+    )(jnp.asarray([seed], jnp.int32), xp, *weights)
+    y = outs[0][:B, :L, :]
+    sbs = tuple(outs[1:1 + n_layers])
+    sfs = tuple(outs[1 + n_layers:1 + 2 * n_layers])
+    return y, (seed, x, sbs, sfs, weights)
+
+
+def _fused_train_chunk_bwd(n_head, drop, layer_base, seq_len, n_layers,
+                           res, dy):
+    seed, x, sbs, sfs, weights = res
+    B, L, D = x.shape
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    Lp = _round_up(L, sublane)
+    H = weights[6].shape[1]
+    G = _pick_g_stacked(Lp, D, H, x.dtype.itemsize, n_layers)
+    Bp = _round_up(B, G)
+    xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
+    dyp = jnp.pad(dy.astype(x.dtype), ((0, Bp - B), (0, Lp - L), (0, 0)))
+
+    data_block = pl.BlockSpec((G, Lp, D), lambda i, s: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    def rep(shape):
+        return pl.BlockSpec(shape, lambda i, s: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    def w2d(w):
+        return w.shape if w.ndim == 2 else (1, w.shape[0])
+
+    stash_specs = [
+        pl.BlockSpec((G, Lp, sb.shape[-1]), lambda i, s: (i, 0, 0),
+                     memory_space=pltpu.VMEM) for sb in sbs
+    ] + [
+        pl.BlockSpec((G, Lp, sf.shape[-1]), lambda i, s: (i, 0, 0),
+                     memory_space=pltpu.VMEM) for sf in sfs
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype)] + [
+        jax.ShapeDtypeStruct(w2d(w), jnp.float32) for w in weights]
+    out_specs = [data_block] + [rep(w2d(w)) for w in weights]
+
+    _fpa_env = os.environ.get("VITIQ_TRAIN_FPA", "auto")
+    fpa_blk = ((_fpa_env == "blk" or (_fpa_env == "auto" and Lp <= 32))
+               and os.environ.get("VITIQ_TRAIN_ATTNBWD", "fullprod")
+               == "fullprod"
+               and os.environ.get("VITIQ_TRAIN_FPV", "wide") == "wide"
+               and _key_split(Lp, seq_len)[1] == 0)
+    blk_scratch = ([pltpu.VMEM((G, n_head * Lp, D), x.dtype)]
+                   if fpa_blk else [])
+
+    kernel = functools.partial(_bwd_kernel_stacked, seq_len=seq_len,
+                               n_head=n_head, drop=drop,
+                               layer_base=layer_base, n_layers=n_layers,
+                               fpa_blk=fpa_blk)
+    outs = _pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bp // G,),
+            in_specs=[data_block, data_block] + stash_specs
+            + [rep(w.shape) for w in weights],
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM(w2d(w), jnp.float32)
+                            for w in weights] + blk_scratch,
+        ),
+        out_shape=out_shapes,
+    )(jnp.asarray([seed], jnp.int32), xp, dyp, *sbs, *sfs, *weights)
+
+    dx = outs[0][:B, :L, :]
+    dws = []
+    for w, dw in zip(weights, outs[1:]):
+        dw = dw if w.ndim == 2 else dw[0]
+        dws.append(dw.astype(w.dtype))
+    dseed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return (dseed, dx, *dws)
+
+
+_fused_train_chunk.defvjp(_fused_train_chunk_fwd, _fused_train_chunk_bwd)
+
+
 def fused_train_layer_stack(
     x: jnp.ndarray,
     layer_params_list,
@@ -1651,6 +1917,21 @@ def fused_train_layer_stack(
                 x, layer_params_list, n_head, drop_prob, seed,
                 seq_len=seq_len)
     seed = jnp.asarray(seed, jnp.int32)
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    Lp = _round_up(L, sublane)
+    lpc = _lpc_mode(len(layer_params_list), Lp, seq_len, n_head, D,
+                    x.dtype.itemsize)
+    if lpc > 1:
+        base = 0
+        while base < len(layer_params_list):
+            chunk = layer_params_list[base:base + lpc]
+            flats = []
+            for lp_ in chunk:
+                flats.extend(_flat_weights(lp_, x.dtype))
+            x = _fused_train_chunk(n_head, float(drop_prob), base, seq_len,
+                                   len(chunk), seed, x, *flats)
+            base += len(chunk)
+        return x
     for i, lp_ in enumerate(layer_params_list):
         flat = _flat_weights(lp_, x.dtype)
         x = _fused_train_layer(n_head, float(drop_prob), i, seq_len, seed,
