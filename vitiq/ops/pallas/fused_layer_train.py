@@ -1719,8 +1719,12 @@ def _lpc_mode(n_layers: int, lp: int, seq_len: int, n_head: int,
               d: int, itemsize: int) -> int:
     """VITIQ_TRAIN_LPC: layers per pallas call for the stacked train path.
     Eligibility = the stash + xpack-forward regime (Lp<=64, d<=128,
-    n_head*Lp<=512, no key tail) with the default DWPACK=0. auto=1 until
-    the on-chip ladder (round 3au) certifies a default."""
+    n_head*Lp<=512, no key tail) with the default DWPACK=0. The round-3au
+    on-chip ladder measured NEUTRAL-to-NEGATIVE (LPC=2@G32 29.56 ms vs
+    29.46-29.63 baseline; LPC=3@G24 -6.5%; LPC=6/stretch rungs VMEM OOM
+    17.1-19.0 MB): the stacked call's nl x resident stash/weights/
+    accumulators cost exactly the G rungs the halved call count saves.
+    auto therefore stays 1 (docs/BENCHMARKS.md round 3au)."""
     env = os.environ.get("VITIQ_TRAIN_LPC", "auto")
     # structural = what the stacked wrappers require to be CORRECT;
     # bf16 (itemsize==2) is only an auto-default condition (the VMEM
