@@ -60,10 +60,17 @@ def test_forward_matches_xla_nodrop(Lx, n_head):
     {"VITIQ_TRAIN_DWPACK": "full"},
     {"VITIQ_TRAIN_DWPACK": "0"},
     {"VITIQ_TRAIN_STASH": "0", "VITIQ_TRAIN_DWPACK": "p1"},
+    # round 3aw: the packed cross-head core in the RECOMPUTE regime —
+    # forward kernel (RFWD), backward recompute (RBWD), and both composed
+    {"VITIQ_TRAIN_STASH": "0", "VITIQ_TRAIN_RFWD": "xpack"},
+    {"VITIQ_TRAIN_STASH": "0", "VITIQ_TRAIN_RBWD": "xpack"},
+    {"VITIQ_TRAIN_STASH": "0", "VITIQ_TRAIN_RFWD": "xpack",
+     "VITIQ_TRAIN_RBWD": "xpack"},
 ], ids=["default", "pb_reuse", "epi_head", "dw_merged", "dw_batched",
         "stash", "recompute", "stash_chain", "stash_fpg2", "stash_fpvhead",
         "stash_fwdchain", "fpa_off", "fpa_blk", "dwpack_p1", "dwpack_full",
-        "dwpack_off", "dwpack_recompute"])
+        "dwpack_off", "dwpack_recompute", "rfwd_xpack", "rbwd_xpack",
+        "rcore_xpack"])
 @pytest.mark.parametrize("Lx,n_head", [(17, 4), (129, 8)])
 def test_gradients_match_autodiff_nodrop(Lx, n_head, knobs, monkeypatch):
     """dx and every weight gradient vs jax autodiff of the XLA layer —
@@ -280,6 +287,25 @@ def test_lpc_mode_gating(monkeypatch):
     monkeypatch.delenv("VITIQ_TRAIN_FWD", raising=False)
     monkeypatch.setenv("VITIQ_TRAIN_DWPACK", "p1")
     assert _lpc_mode(6, 16, 16, 8, 128, 2) == 1          # dwpack: no
+
+
+def test_rcore_xpack_gating(monkeypatch):
+    """The recompute-regime packed core (round 3aw) engages only where
+    structurally supported: no tail mode, n_head*Lp<=1280, and (RBWD) the
+    fullprod gradient loop; auto stays chain pending the chip ladder."""
+    from vitiq.ops.pallas.fused_layer_train import _rcore_xpack
+    for k in ("VITIQ_TRAIN_RFWD", "VITIQ_TRAIN_RBWD", "VITIQ_TRAIN_TAIL",
+              "VITIQ_TRAIN_ATTNBWD"):
+        monkeypatch.delenv(k, raising=False)
+    assert not _rcore_xpack("RFWD", 144, 129, 8, 128)     # auto = chain
+    monkeypatch.setenv("VITIQ_TRAIN_RFWD", "xpack")
+    assert _rcore_xpack("RFWD", 144, 129, 8, 128)         # flagship shape
+    assert not _rcore_xpack("RFWD", 1040, 1025, 8, 128)   # conv1d: lanes
+    monkeypatch.setenv("VITIQ_TRAIN_RBWD", "xpack")
+    assert _rcore_xpack("RBWD", 144, 129, 8, 128)
+    monkeypatch.setenv("VITIQ_TRAIN_ATTNBWD", "chain")
+    assert not _rcore_xpack("RBWD", 144, 129, 8, 128)     # needs fullprod
+    assert _rcore_xpack("RFWD", 144, 129, 8, 128)         # RFWD unaffected
 
 
 def test_gradients_accumulate_across_grid_blocks():

@@ -161,16 +161,114 @@ def _dwpack_mode(lp: int, seq_len: int, n_head: int, d: int) -> str:
     return "0"
 
 
+def _rcore_xpack(which: str, lp: int, seq_len: int, n_head: int,
+                 d: int) -> bool:
+    """VITIQ_TRAIN_RFWD / VITIQ_TRAIN_RBWD ∈ {auto, chain, xpack}: the
+    attention core used in the RECOMPUTE train regime (the big-Lp shapes
+    the stash gate excludes) — 'which' is 'RFWD' (the forward kernel) or
+    'RBWD' (the backward's recompute). The round-3av decomposition priced
+    the vit flagship train fwd at ~142 ms vs the serving xpack forward's
+    ~62 ms on the same shape/batch, so the serialization the serving core
+    removed at Lp>=96 is still being paid twice per train step here.
+    Structural eligibility: no tail mode, block-diagonal lanes sane
+    (n_head*Lp <= 1280, the _stash_supported bound), and for RBWD the
+    fullprod gradient loop (it consumes the packed core's residual tiles;
+    the legacy chain loop re-runs its own score matmuls). auto = chain
+    until the round-3aw chip ladder certifies a default."""
+    env = os.environ.get(f"VITIQ_TRAIN_{which}", "auto")
+    structural = (_key_split(lp, seq_len) == (lp, 0)
+                  and n_head * lp <= 1280)
+    if which == "RBWD":
+        structural = (structural and os.environ.get(
+            "VITIQ_TRAIN_ATTNBWD", "fullprod") == "fullprod")
+    if env == "xpack":
+        return structural
+    return False  # auto stays chain until the round-3aw chip ladder
+
+
 def _attention_fwd(qkv, n_head, seq_len, scale2, x_dtype, want_residuals=False,
-                   force_probs=False):
+                   force_probs=False, packed_scratch=None):
     """Shared fwd attention (v3 structure) on a [G, Lp, 3D] qkv block.
 
     Returns attn [G, Lp, D] (normalized, heads packed); with want_residuals,
     also per-head (out, denom) lists for the backward.
-    """
+
+    packed_scratch=(kp_s, vp_s) selects the CROSS-HEAD PACKED core
+    (round 3aw — the recompute-regime port of the serving/stash xpack
+    mechanism): K/V are scattered into block-diagonal [H*Lp, D] scratches
+    (zeroed once per call), then ONE score GEMM + one exp2 + one PV GEMM +
+    one ones-block denominator GEMM replace the H serialized per-head
+    score->exp->PV chains. Pass count is identical (dh<=128 pads to the
+    same MXU pass either way) — the win is de-serialization, the mechanism
+    that bought serving +21% at exactly the big-Lp shapes (Lp>=96) where
+    the recompute train regime lives. K is masked at padded keys like the
+    chain (probs there = exp2(0) = 1), so the residual tuples handed to
+    the gradient loop are numerically chain-identical. Requires no tail
+    mode (n_tail == 0)."""
     g, lp, d3 = qkv.shape
     d = d3 // 3
     dh = d // n_head
+
+    if packed_scratch is not None:
+        kp_s, vp_s = packed_scratch
+
+        @pl.when(pl.program_id(0) == 0)
+        def _zero():
+            kp_s[:] = jnp.zeros_like(kp_s)
+            vp_s[:] = jnp.zeros_like(vp_s)
+
+        if seq_len < lp:
+            row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=1)
+            kv_mask = row < seq_len
+        else:
+            kv_mask = None
+        kvs = []
+        for h in range(n_head):
+            k_h = qkv[:, :, d + h * dh:d + (h + 1) * dh]
+            v_h = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            if kv_mask is not None:
+                k_h = jnp.where(kv_mask, k_h, 0)
+                v_h = jnp.where(kv_mask, v_h, 0)
+            kp_s[:, h * lp:(h + 1) * lp, h * dh:(h + 1) * dh] = k_h
+            vp_s[:, h * lp:(h + 1) * lp, h * dh:(h + 1) * dh] = v_h
+            kvs.append((k_h, v_h))
+
+        qs_full = (qkv[:, :, :d].astype(jnp.float32) * scale2).astype(x_dtype)
+        scores = jax.lax.dot_general(
+            qs_full, kp_s[:],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, Lq, H*Lp]
+        probs = jnp.exp2(scores).astype(x_dtype)
+        nums = jax.lax.dot_general(
+            probs, vp_s[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, Lq, D]
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (n_head * lp, n_head), 0)
+        c_i = jax.lax.broadcasted_iota(jnp.int32, (n_head * lp, n_head), 1)
+        ones_bd = ((r_i // lp == c_i) & (r_i % lp < seq_len)).astype(x_dtype)
+        dens = jax.lax.dot_general(
+            probs, ones_bd,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, Lq, H] f32
+
+        from vitiq.ops.pallas.fused_encoder_layer import _den_expand
+
+        attn32 = nums / _den_expand(dens, x_dtype, n_head, dh, d)
+        attn = attn32.astype(x_dtype)
+        if not want_residuals:
+            return attn, None
+        heads = []
+        for h in range(n_head):
+            qs_h = qs_full[:, :, h * dh:(h + 1) * dh]
+            k_h, v_h = kvs[h]
+            tiles = [probs[:, :, h * lp + c0:h * lp + min(c0 + 128, lp)]
+                     for c0 in range(0, lp, 128)]
+            heads.append((qs_h, k_h, v_h, dens[:, :, h:h + 1],
+                          attn32[:, :, h * dh:(h + 1) * dh], tiles))
+        return attn, heads
 
     mxu_k, n_tail = _key_split(lp, seq_len)
     lane = jax.lax.broadcasted_iota(jnp.int32, (g, lp, dh), dimension=2)
@@ -307,8 +405,8 @@ def _fwd_kernel(
     seed_ref, x_ref,
     wqkv_ref, bqkv_ref, wo_ref, bo_ref, g1_ref, be1_ref,
     w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
-    y_ref,
-    *, seq_len: int, n_head: int, drop: float, layer_idx: int,
+    y_ref, *scratch,
+    seq_len: int, n_head: int, drop: float, layer_idx: int,
 ):
     g, lp, d = x_ref.shape
     scale2 = _LOG2E / ((d // n_head) ** 0.5)
@@ -326,7 +424,9 @@ def _fwd_kernel(
     ) + bqkv_ref[:]
     qkv = qkv.astype(x.dtype)
 
-    attn, _ = _attention_fwd(qkv, n_head, seq_len, scale2, x.dtype)
+    # scratch = (kp_s, vp_s) selects the packed cross-head core (round 3aw)
+    attn, _ = _attention_fwd(qkv, n_head, seq_len, scale2, x.dtype,
+                             packed_scratch=scratch if scratch else None)
 
     a = jax.lax.dot_general(
         attn, wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
@@ -562,12 +662,17 @@ def _bwd_kernel(
     seed_ref, x_ref, dy_ref, *rest,
     seq_len: int, n_head: int, drop: float, layer_idx: int,
     stash: bool = False, fpa_blk: bool = False, dwpack: str = "0",
+    rbwd: bool = False,
 ):
     if stash:
         sb_ref, sf_ref, *rest = rest
     else:
         sb_ref = sf_ref = None
-    if dwpack != "0":  # pack scratch is appended last (after blk_s)
+    if rbwd:  # packed-recompute K/V scratches are appended last of all
+        *rest, kp_x, vp_x = rest
+    else:
+        kp_x = vp_x = None
+    if dwpack != "0":  # pack scratch is appended after blk_s
         *rest, pack_s = rest
     else:
         pack_s = None
@@ -755,9 +860,10 @@ def _bwd_kernel(
         ) + bqkv_ref[:]
         qkv = qkv.astype(x.dtype)
 
-        attn, heads = _attention_fwd(qkv, n_head, seq_len, scale2, x.dtype,
-                                     want_residuals=True,
-                                     force_probs=use_fullprod)
+        attn, heads = _attention_fwd(
+            qkv, n_head, seq_len, scale2, x.dtype,
+            want_residuals=True, force_probs=use_fullprod,
+            packed_scratch=(kp_x, vp_x) if rbwd else None)
 
         a = jax.lax.dot_general(
             attn, wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
@@ -1494,6 +1600,8 @@ def _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights):
 
     kernel = functools.partial(_fwd_kernel, seq_len=seq_len, n_head=n_head,
                                drop=drop, layer_idx=layer_idx)
+    scratch = ([pltpu.VMEM((G, n_head * Lp, D), x.dtype)] * 2
+               if _rcore_xpack("RFWD", Lp, seq_len, n_head, D) else [])
     y = _pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1501,6 +1609,7 @@ def _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights):
             grid=(Bp // G,),
             in_specs=[data_block] + [rep(w.shape) for w in weights],
             out_specs=data_block,
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
     )(jnp.asarray([seed], jnp.int32), xp, *weights)
@@ -1584,9 +1693,15 @@ def _fused_train_layer_bwd(n_head, drop, layer_idx, seq_len, res, dy):
             return pltpu.VMEM((1, 1), jnp.float32)
         return pltpu.VMEM(w2d(w), jnp.float32)
 
+    # VITIQ_TRAIN_RBWD=xpack (round 3aw): packed cross-head core for the
+    # backward's RECOMPUTE (recompute regime only — stash has no recompute)
+    rbwd = (not stash) and _rcore_xpack("RBWD", Lp, seq_len, n_head, D)
+    rbwd_scratch = ([pltpu.VMEM((G, n_head * Lp, D), x.dtype)] * 2
+                    if rbwd else [])
+
     kernel = functools.partial(_bwd_kernel, seq_len=seq_len, n_head=n_head,
                                drop=drop, layer_idx=layer_idx, stash=stash,
-                               fpa_blk=fpa_blk, dwpack=dwpack)
+                               fpa_blk=fpa_blk, dwpack=dwpack, rbwd=rbwd)
     outs = _pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1596,7 +1711,7 @@ def _fused_train_layer_bwd(n_head, drop, layer_idx, seq_len, res, dy):
             + [rep(w.shape) for w in weights],
             out_specs=out_specs,
             scratch_shapes=[wscratch(i, w) for i, w in enumerate(weights)]
-            + blk_scratch + pack_scratch,
+            + blk_scratch + pack_scratch + rbwd_scratch,
         ),
         out_shape=out_shapes,
     )(jnp.asarray([seed], jnp.int32), xp, dyp, *stash_ins, *weights)
