@@ -38,8 +38,13 @@ def main() -> int:
         print(f"bench attempt 1 failed ({type(e).__name__}: {e}); retrying",
               file=sys.stderr)
         res = bench_fused_infer("vit_tiny", 16384)
+    # Metric key names its geometry (VERDICT r3 item 9): the r01/r02 primary
+    # was the ViT flagship (61.6K -> 110.8K); r03+ promotes the 1M-crossing
+    # vit_tiny geometry. Both remain emitted every round —
+    # vit_flagship_frames_per_sec is the apples-to-apples continuation of
+    # the old primary — so round-over-round vs_baseline stays comparable.
     line = {
-        "metric": "iq_frames_per_sec_per_chip",
+        "metric": "iq_frames_per_sec_per_chip__vit_tiny",
         "value": res["value"],
         "unit": "frames/s",
         "vs_baseline": res["value"] / TARGET_FPS,

@@ -1442,8 +1442,27 @@ def _train_vmem_estimate(g: int, Lp: int, D: int, H: int,
     )
 
 
+def _rcore_g_bytes(Lp: int, seq_len: int, n_head: int, D: int,
+                   itemsize: int, stash: bool) -> int:
+    """Per-G scoped-VMEM bytes of the forced cross-head packed recompute
+    cores (VITIQ_TRAIN_RFWD/RBWD=xpack): two (G, n_head*Lp, D) scratches.
+    Folded into _pick_g so forced ladder runs don't blow the 16 MB scoped
+    -VMEM compile wall the planner exists to avoid (advisor round-3
+    finding). Evaluated from BOTH knobs symmetrically: fwd and bwd must
+    pick the SAME G (the per-grid-block dropout-mask contract), so a
+    fwd-only or bwd-only force still shrinks both passes' G together.
+    Stash regime excluded — its xpack scratches are covered by the
+    measured stash G ladder."""
+    if stash:
+        return 0
+    if (_rcore_xpack("RFWD", Lp, seq_len, n_head, D)
+            or _rcore_xpack("RBWD", Lp, seq_len, n_head, D)):
+        return 2 * n_head * Lp * D * itemsize
+    return 0
+
+
 def _pick_g(Lp: int, D: int, H: int, itemsize: int,
-            stash: bool = False) -> int:
+            stash: bool = False, rcore_g_bytes: int = 0) -> int:
     """One block size for BOTH passes: dropout masks are generated per grid
     block (seeded on program_id), so fwd and bwd must partition the batch
     identically. Sized for the backward (recompute + grad temporaries).
@@ -1479,11 +1498,13 @@ def _pick_g(Lp: int, D: int, H: int, itemsize: int,
         # at Lp=32 the same ladder is unmeasured — keep the conservative
         # one there until a chip run certifies it.
         for g in (24, 16, 8, 4, 2, 1):
-            if _train_vmem_estimate(g, Lp, D, H, itemsize) <= 11_796_480:
+            if (_train_vmem_estimate(g, Lp, D, H, itemsize)
+                    + g * rcore_g_bytes <= 11_796_480):
                 return g
         return 1
     for g in (16, 8, 4, 2, 1):
-        if _train_vmem_estimate(g, Lp, D, H, itemsize) <= _TRAIN_VMEM_BUDGET:
+        if (_train_vmem_estimate(g, Lp, D, H, itemsize)
+                + g * rcore_g_bytes <= _TRAIN_VMEM_BUDGET):
             return g
     return 1
 
@@ -1540,8 +1561,10 @@ def _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights):
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     Lp = _round_up(L, sublane)
     H = weights[6].shape[1]
-    G = _pick_g(Lp, D, H, x.dtype.itemsize,
-                stash=_stash_enabled(Lp, seq_len, n_head, D))
+    _stash_on = _stash_enabled(Lp, seq_len, n_head, D)
+    G = _pick_g(Lp, D, H, x.dtype.itemsize, stash=_stash_on,
+                rcore_g_bytes=_rcore_g_bytes(Lp, seq_len, n_head, D,
+                                             x.dtype.itemsize, _stash_on))
     Bp = _round_up(B, G)
     xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
 
@@ -1552,7 +1575,7 @@ def _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights):
         return pl.BlockSpec(shape, lambda i, s: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
-    if _stash_enabled(Lp, seq_len, n_head, D):
+    if _stash_on:
         wb = 3 * D + n_head * Lp
         # The serving kernel's cross-head packed attention core in the
         # stash forward (one block-diagonal GEMM chain; the packed probs
@@ -1627,8 +1650,10 @@ def _fused_train_layer_bwd(n_head, drop, layer_idx, seq_len, res, dy):
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     Lp = _round_up(L, sublane)
     H = weights[6].shape[1]
-    G = _pick_g(Lp, D, H, x.dtype.itemsize,
-                stash=_stash_enabled(Lp, seq_len, n_head, D))
+    _stash_on = _stash_enabled(Lp, seq_len, n_head, D)
+    G = _pick_g(Lp, D, H, x.dtype.itemsize, stash=_stash_on,
+                rcore_g_bytes=_rcore_g_bytes(Lp, seq_len, n_head, D,
+                                             x.dtype.itemsize, _stash_on))
     Bp = _round_up(B, G)
     xp = jnp.pad(x, ((0, Bp - B), (0, Lp - L), (0, 0)))
     dyp = jnp.pad(dy.astype(x.dtype), ((0, Bp - B), (0, Lp - L), (0, 0)))
