@@ -10,10 +10,14 @@ comparison — the workflow the reference performs manually across its two
 script trees + compare_models.py.
 
 Usage: python scripts/proxy_head_to_head.py [epochs] [frames_per_class] \
-    [numerics] [classes]
+    [numerics] [classes] [channel]
 Defaults: 100 epochs (early stop governs), 2048 frames/class, numerics=tpu
 on TPU else reference, classes=19 (24 = the full RadioML 2018.01A list
-incl. the analog AM/FM families, ref: ViT/training/evaluate.py:69-74).
+incl. the analog AM/FM families, ref: ViT/training/evaluate.py:69-74),
+channel=none ('imp' = the 2018.01A-style impairment chain —
+vitiq.data.synthetic.ChannelModel; VERDICT r3 item 1 — with artifacts
+under result/proxy{classes}i/; a JSON dict, e.g. '{"fading": false}',
+selects an ablation rung).
 Artifacts under result/proxy{classes}/, comparison under
 result/proxy{classes}/comparison_results/, summary JSON at
 result/proxy{classes}/head_to_head_summary.json.
@@ -39,8 +43,10 @@ def main() -> int:
     numerics = (sys.argv[3] if len(sys.argv) > 3
                 else ("tpu" if jax.default_backend() == "tpu" else "reference"))
     n_classes = int(sys.argv[4]) if len(sys.argv) > 4 else 19
+    channel = sys.argv[5] if len(sys.argv) > 5 else "none"
 
-    out_root = pathlib.Path(f"result/proxy{n_classes}")
+    suffix = "" if channel == "none" else "i"
+    out_root = pathlib.Path(f"result/proxy{n_classes}{suffix}")
     common = {
         "data.synthetic_frames_per_class": frames,
         "model.numerics": numerics,
@@ -48,14 +54,18 @@ def main() -> int:
         "checkpoint_dir": str(out_root / "ckpt"),
         "log_dir": str(out_root / "logs"),
     }
+    if channel != "none":
+        common["data.synthetic_channel"] = True
+        if channel != "imp":
+            common["data.synthetic_channel_params"] = json.loads(channel)
     if n_classes == 24:
         from vitiq.config import TARGET_MODULATIONS_24
         common["data.synthetic_classes"] = TARGET_MODULATIONS_24
         common["model.num_classes"] = 24
     vit_cfg = ExperimentConfig.vit_synthetic19(**common)
     rawiq_cfg = ExperimentConfig.rawiq_synthetic19(**common)
-    vit_cfg.experiment_name = f"vit_synthetic{n_classes}"
-    rawiq_cfg.experiment_name = f"rawiq_synthetic{n_classes}"
+    vit_cfg.experiment_name = f"vit_synthetic{n_classes}{suffix}"
+    rawiq_cfg.experiment_name = f"rawiq_synthetic{n_classes}{suffix}"
 
     summary = run_head_to_head(
         vit_cfg, rawiq_cfg,

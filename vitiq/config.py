@@ -181,6 +181,15 @@ class DataConfig:
     # 1 = iid symbols (RadioML sps=1 rule); >=2 = RRC-shaped oversampled
     # constellation frames for SPS-mode experiments
     synthetic_shaping_sps: int = 1
+    # 2018.01A-style channel impairments for the synthetic corpus: RRC
+    # pulse shaping at ~8 samples/symbol + CFO + sample-clock offset +
+    # Rician selective fading, captured back at 1 sample/symbol
+    # (vitiq.data.synthetic.ChannelModel). synthetic_channel turns the
+    # chain on; synthetic_channel_params overrides ChannelModel fields
+    # (e.g. {"fading": false, "cfo_max": 0}) for the impairment-ablation
+    # ladder. Overrides synthetic_shaping_sps when on.
+    synthetic_channel: bool = False
+    synthetic_channel_params: Optional[Dict[str, Any]] = None
 
     @property
     def num_classes(self) -> int:

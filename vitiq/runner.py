@@ -25,7 +25,8 @@ import jax
 import numpy as np
 
 from vitiq.config import ExperimentConfig
-from vitiq.data import HDF5DataSource, SyntheticAMCDataset, stats_from_array
+from vitiq.data import (HDF5DataSource, SyntheticAMCDataset, channel_from_config,
+                        stats_from_array)
 from vitiq.data.feeds import ArrayFeed, DataFeed, StreamFeed
 from vitiq.dsp import preprocess_batch_rawiq, preprocess_batch_vit
 from vitiq.models import count_parameters, init_amc_params, make_forward
@@ -135,6 +136,7 @@ def load_experiment_data(cfg: ExperimentConfig):
             snrs_db=cfg.data.synthetic_snr_db,
             seed=cfg.data.synthetic_seed,
             shaping_sps=cfg.data.synthetic_shaping_sps,
+            channel=channel_from_config(cfg.data),
         )
         n = len(ds)
         n_train = int(cfg.data.train_size * n)
