@@ -133,6 +133,60 @@ class StreamFeed(DataFeed):
                                seed=0, drop_last=False)
 
 
+class ProcessShardFeed(DataFeed):
+    """Per-host view of a global feed for multi-host meshes (SURVEY §0/§2.9
+    "per-host data feeding"; VERDICT r3 item 6).
+
+    Every process constructs the SAME underlying feed (identical seeds), so
+    each epoch's global permutation is identical across hosts; this wrapper
+    yields only the rows of each global batch owned by this process's
+    devices (`vitiq.parallel.mesh.process_local_rows`). Paired with
+    `shard_batch_per_process`, batch assembly is host-local: no process
+    ever materializes — in host RAM past the slice, or on device at all —
+    another host's shard. (For packed-shard storage the row range can also
+    drive ranged reads; slicing here already bounds per-host device memory
+    and H2D traffic, which is the multi-host contract.)
+
+    `process_index`/`process_of_device` default to the real JAX process
+    topology; tests inject fake mappings to exercise multi-host geometry on
+    a single-process CPU mesh.
+    """
+
+    def __init__(self, inner: DataFeed, mesh, process_index=None,
+                 process_of_device=None):
+        self._inner = inner
+        self._mesh = mesh
+        self._process_index = process_index
+        self._process_of_device = process_of_device
+        self.num_samples = inner.num_samples
+
+    def local_rows(self, global_batch: int) -> slice:
+        from vitiq.parallel.mesh import process_local_rows
+
+        return process_local_rows(self._mesh, global_batch,
+                                  process_index=self._process_index,
+                                  process_of_device=self._process_of_device)
+
+    def close(self) -> None:
+        self._inner.close()
+
+    def train_batches(self, epoch: int, batch_size: int) -> Iterator[Batch]:
+        sl = self.local_rows(batch_size)
+        for bx, by in self._inner.train_batches(epoch, batch_size):
+            yield bx[sl], by[sl]
+
+    def eval_batches(self, batch_size: int) -> Iterator[EvalBatch]:
+        sl = self.local_rows(batch_size)
+        for bx, by, mask in self._inner.eval_batches(batch_size):
+            yield bx[sl], by[sl], mask[sl]
+
+    def raw_batches(self, batch_size: int) -> Iterator[RawBatch]:
+        # raw (x, y, snr) batches feed host-side confusion-matrix eval and
+        # may be partial — per-process slicing of a partial final batch is
+        # ill-defined, so the host-side eval path stays global
+        return self._inner.raw_batches(batch_size)
+
+
 def as_feed(data, shuffle_seed: int = 0) -> DataFeed:
     """Coerce fit()'s `train_data`/`valid_data` argument: a DataFeed passes
     through; an (x, y) or (x, y, snr) tuple becomes an ArrayFeed."""

@@ -52,13 +52,20 @@ class Prefetcher:
             yield item
 
 
-def device_prefetch(batch_iter: Iterable, sharding=None, prefetch_depth: int = 3):
+def device_prefetch(batch_iter: Iterable, sharding=None, prefetch_depth: int = 3,
+                    assemble: Optional[Callable] = None):
     """Prefetch batches and place them on device (sharded when given).
 
     device_put inside the worker thread: the H2D DMA is issued ahead of the
     consumer, so the accelerator never waits on the host.
+
+    `assemble` overrides the placement transform — multi-host feeds pass
+    `shard_batch_per_process` here so each process contributes only its
+    local rows (per-host data feeding, vitiq.parallel.mesh).
     """
-    if sharding is None:
+    if assemble is not None:
+        transform = assemble
+    elif sharding is None:
         transform = None
     else:
         def transform(item):

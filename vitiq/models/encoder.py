@@ -129,8 +129,15 @@ def encoder_apply(
     # VITIQ_FUSED_FORCE=1 engages the fused kernels off-TPU — paired with
     # VITIQ_PALLAS_INTERPRET=1 (generic pallas interpreter) this lets the
     # virtual-mesh dryrun certify the production kernel path on CPU.
+    # VITIQ_FUSED_F32=1 (certification-only) additionally admits the f32
+    # reference policy into the fused family: the kernels are dtype-generic,
+    # and running them in f32 lets the dryrun bound the PLUMBING error
+    # (shard_map, layouts, masks) at ~1e-3 instead of hiding it under bf16
+    # rounding (VERDICT r3 item 8). Never default — production fused
+    # serving is the bf16 policy.
     fused_family = (
-        policy.compute_dtype == jnp.bfloat16
+        (policy.compute_dtype == jnp.bfloat16
+         or os.environ.get("VITIQ_FUSED_F32") == "1")
         and getattr(attention_fn, "packed_layout", False)
         and (jax.default_backend() == "tpu"
              or os.environ.get("VITIQ_FUSED_FORCE") == "1")

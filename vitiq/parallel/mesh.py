@@ -144,6 +144,74 @@ def shard_batch(batch, mesh: Mesh):
 
 
 # --------------------------------------------------------------------------
+# per-host (process-sharded) data feeding — SURVEY §0/§2.9, VERDICT r3 item 6
+# --------------------------------------------------------------------------
+
+def process_local_rows(mesh: Mesh, global_batch: int,
+                       process_index: Optional[int] = None,
+                       process_of_device=None) -> slice:
+    """Rows of the global batch owned by one process's devices under
+    ``batch_sharding(mesh)``.
+
+    On a multi-host mesh each process must feed ONLY the batch rows its
+    addressable devices hold; this derives that row range from the batch
+    sharding's device→index map rather than assuming a layout, so it stays
+    correct for dp×tp meshes (model-axis devices replicate the same rows)
+    and multislice ("dcn_data","data") meshes alike.
+
+    `process_of_device` maps a device to its process index (defaults to
+    ``d.process_index``); tests inject a fake mapping to exercise the
+    multi-host geometry on a single-process CPU mesh.
+    """
+    sharding = batch_sharding(mesh)
+    if process_of_device is None:
+        def process_of_device(d):
+            return d.process_index
+    if process_index is None:
+        process_index = jax.process_index()
+    imap = sharding.devices_indices_map((global_batch,))
+    spans = sorted({
+        (idx[0].start or 0,
+         global_batch if idx[0].stop is None else idx[0].stop)
+        for d, idx in imap.items()
+        if process_of_device(d) == process_index
+    })
+    if not spans:
+        raise ValueError(
+            f"process {process_index} owns no devices of mesh {mesh.shape}")
+    lo, hi = spans[0][0], max(e for _, e in spans)
+    cur = lo
+    for s, e in spans:
+        if s > cur:
+            raise ValueError(
+                f"process {process_index}'s batch rows are non-contiguous "
+                f"({spans}); feed assembly needs one host slice per process "
+                f"— reorder the mesh so same-process devices are adjacent "
+                f"on the data axis")
+        cur = max(cur, e)
+    return slice(lo, hi)
+
+
+def shard_batch_per_process(local_batch, mesh: Mesh, global_batch: int):
+    """Assemble the GLOBAL sharded batch from this process's local rows only.
+
+    Multi-host counterpart of `shard_batch`: `local_batch` holds just the
+    rows from `process_local_rows(mesh, global_batch)` (on a single-process
+    mesh that is the whole batch), and
+    `jax.make_array_from_process_local_data` builds the global jax.Array
+    without any host ever materializing another host's shard.
+    """
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(x),
+            (global_batch,) + tuple(x.shape[1:]))
+
+    return jax.tree_util.tree_map(put, local_batch)
+
+
+# --------------------------------------------------------------------------
 # tensor-parallel parameter layout
 # --------------------------------------------------------------------------
 

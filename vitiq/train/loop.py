@@ -179,12 +179,14 @@ def evaluate_epoch(eval_step, params, x, y, batch_size: int, sharding=None) -> D
 
 
 def evaluate_feed(eval_step, params, feed: DataFeed, batch_size: int,
-                  sharding=None, prefetch_depth: int = 3) -> Dict[str, float]:
+                  sharding=None, prefetch_depth: int = 3,
+                  assemble=None) -> Dict[str, float]:
     """evaluate_epoch over a DataFeed (in-RAM or streaming) with async
     prefetch — padded batches, every sample scored exactly once."""
     loss_sum = correct_sum = count = 0.0
     batches = device_prefetch(feed.eval_batches(batch_size), sharding,
-                              prefetch_depth=prefetch_depth)
+                              prefetch_depth=prefetch_depth,
+                              assemble=assemble)
     for bx, by, mask in batches:
         m = eval_step(params, bx, by, mask)
         loss_sum += float(m["loss_sum"])
@@ -288,6 +290,23 @@ def fit(
     base_rng = jax.random.PRNGKey(tcfg.dropout_seed)
     train_feed = as_feed(train_data, shuffle_seed=tcfg.shuffle_seed)
     valid_feed = as_feed(valid_data, shuffle_seed=tcfg.shuffle_seed)
+    # Multi-host meshes: per-host data feeding (SURVEY §0/§2.9, VERDICT r3
+    # item 6). Every process runs this same fit() with identical seeds, so
+    # the wrapped feeds see identical global permutations; each then yields
+    # only its process's rows and device placement assembles the global
+    # array from process-local shards. Single-process runs keep the plain
+    # full-batch device_put path (assemble=None).
+    assemble = None
+    if jax.process_count() > 1:
+        from vitiq.data.feeds import ProcessShardFeed
+        from vitiq.parallel.mesh import shard_batch_per_process
+
+        train_feed = ProcessShardFeed(train_feed, mesh)
+        valid_feed = ProcessShardFeed(valid_feed, mesh)
+        _gbs = tcfg.batch_size
+
+        def assemble(batch):
+            return shard_batch_per_process(batch, mesh, _gbs)
     if train_feed.num_samples < tcfg.batch_size:
         raise ValueError(
             f"batch_size ({tcfg.batch_size}) exceeds the training-set size "
@@ -313,7 +332,8 @@ def fit(
             epoch_steps0 = len(timer.times) if timer else 0
             batches = device_prefetch(
                 train_feed.train_batches(epoch, tcfg.batch_size),
-                data_sharding, prefetch_depth=tcfg.prefetch_depth)
+                data_sharding, prefetch_depth=tcfg.prefetch_depth,
+                assemble=assemble)
             for bx, by in batches:
                 if timer is not None:
                     with timer.step():
@@ -336,7 +356,8 @@ def fit(
 
             val = evaluate_feed(eval_step, state.params, valid_feed,
                                 tcfg.batch_size, data_sharding,
-                                prefetch_depth=tcfg.prefetch_depth)
+                                prefetch_depth=tcfg.prefetch_depth,
+                                assemble=assemble)
             epoch_time = time.perf_counter() - t0
 
             lr = get_learning_rate(state)
