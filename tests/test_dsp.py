@@ -345,7 +345,10 @@ class TestBatchedTimingMethods:
         from vitiq.dsp.frontend import preprocess_batch_sps
 
         x = self._frames()
-        out = np.asarray(preprocess_batch_sps(jnp.asarray(x), sps=2, method=method))
+        # hybrid_window=0: the FULL per-symbol loop is what the single-frame
+        # extract_symbols runs (the hybrid default is covered below)
+        out = np.asarray(preprocess_batch_sps(jnp.asarray(x), sps=2,
+                                              method=method, hybrid_window=0))
         assert out.shape == (x.shape[0], x.shape[1] // 2, 2)
         for b in range(x.shape[0]):
             ref = extract_symbols(x[b, :, 0], x[b, :, 1], sps=2, method=method)
@@ -373,3 +376,88 @@ class TestBatchedTimingMethods:
 
         with pytest.raises(ValueError):
             preprocess_batch_sps(jnp.zeros((1, 64, 2)), sps=2, method="bogus")
+
+
+class TestHybridTiming:
+    """Hybrid feedback timing (VERDICT r3 item 7): coarse energy phase +
+    short tracking window + uniform strobes — the e2e default. Must meet the
+    same contract quality bar as the full loops while cutting the
+    sequential chain from L//sps to `window` steps."""
+
+    def _batch(self, B=8, nsym=256, sps=2, mod="QPSK", snr=20.0):
+        frames, true_idx = [], []
+        for b in range(B):
+            i, q, idx = generate_test_signal(mod, num_symbols=nsym, sps=sps,
+                                             snr_db=snr, seed=40 + b)
+            frames.append(np.stack([i, q], -1))
+            true_idx.append(idx)
+        return np.stack(frames).astype(np.float32), true_idx
+
+    @pytest.mark.parametrize("method", ["gardner", "mueller_muller"])
+    def test_meets_contract_bar(self, method):
+        import jax.numpy as jnp
+
+        from vitiq.dsp.filtering import matched_filter_batch
+        from vitiq.dsp.timing import (batched_timing_positions,
+                                      hybrid_timing_positions)
+
+        x, true_idx = self._batch()
+        filt = matched_filter_batch(jnp.asarray(x), sps=2)
+        hyb, _ = hybrid_timing_positions(filt[..., 0], filt[..., 1], 2,
+                                         method, window=64)
+        full, _ = batched_timing_positions(filt[..., 0], filt[..., 1], 2,
+                                           method)
+        for pos, tag in ((np.asarray(hyb), "hybrid"),
+                         (np.asarray(full), "full")):
+            errs = [np.abs(pos[b][:, None] - true_idx[b][None, :])
+                    .min(axis=1).mean() for b in range(x.shape[0])]
+            assert np.mean(errs) <= 0.75, f"{method}/{tag}: {np.mean(errs):.2f}"
+        # the hybrid must be no worse than the full loop + noise margin
+        e_h = np.mean([np.abs(np.asarray(hyb)[b][:, None] - true_idx[b][None])
+                       .min(axis=1).mean() for b in range(x.shape[0])])
+        e_f = np.mean([np.abs(np.asarray(full)[b][:, None] - true_idx[b][None])
+                       .min(axis=1).mean() for b in range(x.shape[0])])
+        assert e_h <= e_f + 0.25
+
+    def test_uniform_strobes(self):
+        import jax.numpy as jnp
+
+        from vitiq.dsp.filtering import matched_filter_batch
+        from vitiq.dsp.timing import hybrid_timing_positions
+
+        x, _ = self._batch(B=2)
+        filt = matched_filter_batch(jnp.asarray(x), sps=2)
+        pos, valid = hybrid_timing_positions(filt[..., 0], filt[..., 1], 2,
+                                             "gardner", window=64)
+        pos = np.asarray(pos)
+        assert bool(np.asarray(valid).all())
+        # open-loop extrapolation: uniform spacing everywhere except the
+        # final strobe, which may clip at the frame edge
+        d = np.diff(pos, axis=1)[:, :-1]
+        np.testing.assert_allclose(d, 2.0, atol=1e-3)  # f32 position grid
+
+    def test_default_sps_path_uses_hybrid_and_recovers(self):
+        """preprocess_batch_sps defaults to the hybrid loop; symbol energy
+        must clear the same bar as the full loop (contract fixture)."""
+        import jax.numpy as jnp
+        from vitiq.dsp.frontend import preprocess_batch_sps
+
+        x, _ = self._batch(B=4, nsym=128)
+        out = np.asarray(preprocess_batch_sps(jnp.asarray(x), sps=2,
+                                              method="gardner"))
+        e_sym = (out[..., 0] ** 2 + out[..., 1] ** 2).mean()
+        e_all = (x[..., 0] ** 2 + x[..., 1] ** 2).mean()
+        assert e_sym > 0.9 * e_all
+
+    def test_window_ge_nsym_falls_back_to_full(self):
+        import jax.numpy as jnp
+        from vitiq.dsp.frontend import preprocess_batch_sps
+
+        x, _ = self._batch(B=2, nsym=32)
+        a = np.asarray(preprocess_batch_sps(jnp.asarray(x), sps=2,
+                                            method="gardner",
+                                            hybrid_window=64))
+        b = np.asarray(preprocess_batch_sps(jnp.asarray(x), sps=2,
+                                            method="gardner",
+                                            hybrid_window=0))
+        np.testing.assert_array_equal(a, b)

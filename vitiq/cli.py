@@ -47,6 +47,10 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    choices=["simple_energy", "simple_correlation", "gardner",
                             "mueller_muller"],
                    default=None, help="timing recovery for --sps >= 2")
+    p.add_argument("--timing_hybrid_window", type=int, default=None,
+                   help="gardner/mueller_muller: hybrid tracking-window "
+                        "length (default 64; 0 = full per-symbol feedback "
+                        "loop for drifting clocks)")
     p.add_argument("--streaming", action="store_true", default=None,
                    help="stream splits from the HDF5 file (out-of-core: "
                         "bounded RSS via windowed sequential reads) instead "
@@ -117,6 +121,7 @@ def _config_from_args(args) -> ExperimentConfig:
         "data.stream_window_rows": args.stream_window_rows,
         "data.sps": args.sps,
         "data.timing_method": args.timing_method,
+        "data.timing_hybrid_window": args.timing_hybrid_window,
         "train.profile_steps": args.profile_steps,
         "train.batch_size": args.batch_size,
         "train.num_epochs": args.num_epochs,

@@ -159,6 +159,11 @@ class DataConfig:
     # gardner, mueller_muller} (ref: test_dsp_functions.py:117-156).
     sps: int = 1
     timing_method: str = "gardner"
+    # gardner/mueller_muller batched path: hybrid tracking-window length
+    # (coarse energy phase + short feedback window + uniform strobes —
+    # vitiq/dsp/timing.py hybrid_timing_positions). 0 = full per-symbol
+    # feedback loop (needed when intra-frame clock drift ~ 1 sample).
+    timing_hybrid_window: int = 64
     # input features: 'iq' (reference behavior for both arms), 'amp_phase'
     # (rawiq arm — the MDF-NET dual-domain transform, vitiq extension), or
     # 'spectrogram' (vit arm — STFT-image patchification, BASELINE config 2)

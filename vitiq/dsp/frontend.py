@@ -130,7 +130,8 @@ def preprocess_batch_rawiq(x: jnp.ndarray, stats: Dict[str, float]) -> jnp.ndarr
 
 def preprocess_batch_sps(x: jnp.ndarray, sps: int, alpha: float = 0.35,
                          span: int = 8,
-                         method: str = "simple_energy") -> jnp.ndarray:
+                         method: str = "simple_energy",
+                         hybrid_window: int = 64) -> jnp.ndarray:
     """Fused SPS-aware front-end (BASELINE.json config 3), fully batched/jit:
 
     sps == 1: identity (RadioML rule — every sample is a symbol).
@@ -141,12 +142,17 @@ def preprocess_batch_sps(x: jnp.ndarray, sps: int, alpha: float = 0.35,
     on-device:
       simple_energy / simple_correlation — vectorized per-frame phase pick
         (traced index, jnp.take along the phase axis);
-      gardner / mueller_muller — the per-frame `lax.scan` feedback loops
-        vmapped over the batch (vitiq.dsp.timing.batched_timing_positions),
-        strobes rounded and gathered per frame. Strobes that run past the
-        frame end (the scan's fixed L//sps trip count can overshoot on
-        drifting loops) clamp to the last sample, so the output shape stays
-        static; the single-frame extract_symbols drops them instead.
+      gardner / mueller_muller — by default the HYBRID loop (coarse energy
+        phase + `hybrid_window`-step tracking + uniform strobes,
+        vitiq.dsp.timing.hybrid_timing_positions) — it cuts the sequential
+        chain from L//sps to `hybrid_window` steps, the e2e Gardner
+        bottleneck (VERDICT r3 item 7). hybrid_window=0 restores the full
+        per-symbol feedback loops (batched_timing_positions — required when
+        intra-frame clock drift approaches a sample). Strobes that run past
+        the frame end (the full scan's fixed L//sps trip count can
+        overshoot on drifting loops) clamp to the last sample, so the
+        output shape stays static; the single-frame extract_symbols drops
+        them instead.
     """
     if sps == 1:
         return x
@@ -161,10 +167,16 @@ def preprocess_batch_sps(x: jnp.ndarray, sps: int, alpha: float = 0.35,
     n_sym = L // sps
 
     if method in ("gardner", "mueller_muller"):
-        from vitiq.dsp.timing import batched_timing_positions
+        from vitiq.dsp.timing import (batched_timing_positions,
+                                      hybrid_timing_positions)
 
-        positions, _valid = batched_timing_positions(
-            filtered[..., 0], filtered[..., 1], sps, method)  # [B, n_sym]
+        if hybrid_window and hybrid_window < n_sym:
+            positions, _valid = hybrid_timing_positions(
+                filtered[..., 0], filtered[..., 1], sps, method,
+                window=hybrid_window)
+        else:
+            positions, _valid = batched_timing_positions(
+                filtered[..., 0], filtered[..., 1], sps, method)  # [B, n_sym]
         idx = jnp.clip(jnp.rint(positions), 0, L - 1).astype(jnp.int32)
         return jnp.take_along_axis(filtered, idx[..., None], axis=1)
 

@@ -51,7 +51,9 @@ def build_preprocess(cfg: ExperimentConfig, stats: Dict[str, float]) -> Callable
     from vitiq.dsp import preprocess_batch_sps
 
     sps, method = cfg.data.sps, cfg.data.timing_method
-    return lambda x: arm_pre(preprocess_batch_sps(x, sps, method=method))
+    hyb = cfg.data.timing_hybrid_window
+    return lambda x: arm_pre(preprocess_batch_sps(x, sps, method=method,
+                                                  hybrid_window=hyb))
 
 
 def build_forward_and_preprocess(cfg: ExperimentConfig, stats: Dict[str, float]):
