@@ -100,8 +100,11 @@ def global_best_pso(
     seed: int = 0,
     bounds: Tuple[np.ndarray, np.ndarray] = (MIN_BOUNDS, MAX_BOUNDS),
     verbose: bool = False,
+    on_iter: Optional[Callable] = None,
 ) -> PSOResult:
-    """Canonical global-best PSO; `fitness(X[n_particles, dim]) -> cost[n]`."""
+    """Canonical global-best PSO; `fitness(X[n_particles, dim]) -> cost[n]`.
+    `on_iter(it, gbest_x, gbest_cost, history)` fires after each iteration —
+    long on-chip sweeps use it to persist the partial trace."""
     rng = np.random.default_rng(seed)
     lo, hi = bounds
     dim = len(lo)
@@ -131,7 +134,10 @@ def global_best_pso(
             gbest_x = pbest_x[g].copy()
         history.append(gbest_cost)
         if verbose:
-            print(f"pso iter {it + 1}/{iters}: best_cost={gbest_cost:.4f}")
+            print(f"pso iter {it + 1}/{iters}: best_cost={gbest_cost:.4f}",
+                  flush=True)
+        if on_iter is not None:
+            on_iter(it, gbest_x, gbest_cost, history)
 
     # decode only applies to the 9-dim AMC space; generic optimizations
     # (tests, other spaces) get the raw position
@@ -254,6 +260,8 @@ def run_pso_sweep(
     frame_len: int = 256,
     verbose: bool = True,
     bucket: Optional[bool] = None,
+    classes: Optional[Tuple[str, ...]] = None,
+    channel: bool = False,
 ) -> Dict:
     """End-to-end sweep over the 9-dim reference search space.
 
@@ -267,15 +275,16 @@ def run_pso_sweep(
 
         bucket = jax.default_backend() == "tpu"
     if source == "synthetic":
-        from vitiq.data import SyntheticAMCDataset
+        from vitiq.data import ChannelModel, SyntheticAMCDataset
 
-        ds = SyntheticAMCDataset(classes=("BPSK", "QPSK", "16QAM"),
+        ds = SyntheticAMCDataset(classes=classes or ("BPSK", "QPSK", "16QAM"),
                                  frames_per_class=frames_per_class,
-                                 frame_len=frame_len, seed=seed)
+                                 frame_len=frame_len, seed=seed,
+                                 channel=ChannelModel() if channel else None)
         n = len(ds)
         split = int(0.85 * n)
         train, valid = (ds.X[:split], ds.Y[:split]), (ds.X[split:], ds.Y[split:])
-        num_classes, seq_length = 3, frame_len
+        num_classes, seq_length = len(ds.classes), frame_len
     else:
         from vitiq.config import DataConfig
         from vitiq.data import HDF5DataSource
@@ -291,8 +300,21 @@ def run_pso_sweep(
 
     fitness = make_amc_fitness(train, valid, num_classes, seq_length,
                                train_steps=train_steps, seed=seed, bucket=bucket)
+
+    def persist_partial(it, gx, gc, hist):
+        if not output_path:
+            return
+        Path(output_path).write_text(json.dumps({
+            "partial": True, "iters_done": it + 1,
+            "best_val_accuracy": -gc,
+            "best_hparams": decode_particle(gx, bucket=bucket),
+            "cost_history": hist,
+            "distinct_architectures_compiled": len(fitness.compile_cache),
+        }, indent=2, default=float))
+
     result = global_best_pso(fitness, n_particles=n_particles, iters=iters,
-                             seed=seed, verbose=verbose)
+                             seed=seed, verbose=verbose,
+                             on_iter=persist_partial)
     out = {
         "best_val_accuracy": -result.best_cost,
         "best_hparams": result.best_hparams,
