@@ -10,14 +10,16 @@ comparison — the workflow the reference performs manually across its two
 script trees + compare_models.py.
 
 Usage: python scripts/proxy_head_to_head.py [epochs] [frames_per_class] \
-    [numerics] [classes] [channel]
+    [numerics] [classes] [channel] [tag]
 Defaults: 100 epochs (early stop governs), 2048 frames/class, numerics=tpu
 on TPU else reference, classes=19 (24 = the full RadioML 2018.01A list
 incl. the analog AM/FM families, ref: ViT/training/evaluate.py:69-74),
 channel=none ('imp' = the 2018.01A-style impairment chain —
 vitiq.data.synthetic.ChannelModel; VERDICT r3 item 1 — with artifacts
 under result/proxy{classes}i/; a JSON dict, e.g. '{"fading": false}',
-selects an ablation rung).
+selects an ablation rung; pair ablation rungs with an explicit [tag] so
+each rung's artifacts land under result/proxy{classes}{tag}/ instead of
+clobbering the full-impairment run).
 Artifacts under result/proxy{classes}/, comparison under
 result/proxy{classes}/comparison_results/, summary JSON at
 result/proxy{classes}/head_to_head_summary.json.
@@ -45,7 +47,8 @@ def main() -> int:
     n_classes = int(sys.argv[4]) if len(sys.argv) > 4 else 19
     channel = sys.argv[5] if len(sys.argv) > 5 else "none"
 
-    suffix = "" if channel == "none" else "i"
+    suffix = (sys.argv[6] if len(sys.argv) > 6
+              else ("" if channel == "none" else "i"))
     out_root = pathlib.Path(f"result/proxy{n_classes}{suffix}")
     common = {
         "data.synthetic_frames_per_class": frames,

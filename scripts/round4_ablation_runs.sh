@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-4 impairment-ablation ladder (VERDICT r3 item 1 done-criteria):
+# which 2018.01A channel ingredient does the cross-arm ordering need?
+# Rungs share the proxy19 regime (19 classes, 2048 frames/class, early
+# stop) so they compare against docs/proxy19 (iid, ViT +6.06) and
+# result/proxy19i (full chain, ViT +3.04 overall / rawIQ +2.55 @ -8 dB).
+# Each rung ~25 min on the chip; artifacts under result/proxy19<tag>/.
+set -u
+cd "$(dirname "$0")/.."
+run() {
+  local tag="$1" params="$2"
+  if [ -f "result/proxy19${tag}/head_to_head_summary.json" ]; then
+    echo "=== rung $tag already done, skipping ==="
+    return
+  fi
+  echo "=== rung $tag ($(date +%H:%M:%S)) params=$params ==="
+  timeout 3600 python -u scripts/proxy_head_to_head.py 100 2048 tpu 19 \
+    "$params" "$tag" || echo "rung $tag exited rc=$?"
+}
+# pulse shaping + timing jitter only (no CFO/clock/fading): pure RRC ISI
+run i_shape '{"cfo_max": 0, "clock_ppm_max": 0, "fading": false}'
+# full chain minus selective fading
+run i_nofade '{"fading": false}'
+# full chain minus carrier frequency offset
+run i_nocfo '{"cfo_max": 0}'
+echo "ABLATION DONE"
