@@ -53,4 +53,42 @@ run t_best_4096_stash   R4_ARM=rawiq_best R4_BATCH=4096 VITIQ_TRAIN_STASH=1
 run t_bestmp_8192_base  R4_ARM=rawiq_best_mp R4_BATCH=8192
 run t_bestmp_4096_stash R4_ARM=rawiq_best_mp R4_BATCH=4096 VITIQ_TRAIN_STASH=1
 run t_bestmp_8192_rbothx R4_ARM=rawiq_best_mp R4_BATCH=8192 VITIQ_TRAIN_RFWD=xpack VITIQ_TRAIN_RBWD=xpack
+
+# ---- VERDICT r3 item 7: hybrid Gardner e2e on chip (vs the 6.3K full-loop floor) ----
+sps_run() {
+  local tag="$1" method="$2" window="$3"
+  if grep -q "\"tag\": \"$tag\"" "$LOG" 2>/dev/null; then
+    echo "=== $tag already recorded, skipping ==="
+    return
+  fi
+  echo "=== $tag ($(date +%H:%M:%S)) method=$method window=$window ==="
+  timeout 1500 python -u - "$tag" "$method" "$window" <<'EOF'
+import json, sys
+from vitiq.utils.compile_cache import enable_persistent_compilation_cache
+enable_persistent_compilation_cache()
+tag, method, window = sys.argv[1], sys.argv[2], int(sys.argv[3])
+import functools
+import vitiq.dsp as dsp
+if window != 64:
+    # rebind the batched default for the A/B (0 = full contract loop);
+    # bench_sps_infer resolves `from vitiq.dsp import preprocess_batch_sps`
+    # at call time, so patch the package namespace
+    dsp.preprocess_batch_sps = functools.partial(dsp.preprocess_batch_sps,
+                                                 hybrid_window=window)
+from vitiq.bench import bench_sps_infer
+try:
+    res = bench_sps_infer(method=method)
+    out = {"tag": tag, "method": method, "hybrid_window": window,
+           "fps": res["value"], "batch": res["batch_size"]}
+except Exception as e:
+    out = {"tag": tag, "method": method, "hybrid_window": window,
+           "error": f"{type(e).__name__}: {str(e)[:300]}"}
+print("R4RESULT " + json.dumps(out), flush=True)
+with open("/tmp/r4_ladder.jsonl", "a") as f:
+    f.write(json.dumps(out) + "\n")
+EOF
+}
+sps_run sps_gardner_hybrid64 gardner 64
+sps_run sps_mm_hybrid64      mueller_muller 64
+sps_run sps_gardner_full     gardner 0
 echo "LADDER4B DONE"
