@@ -130,18 +130,21 @@ def _stash_supported(lp: int, seq_len: int, n_head: int) -> bool:
 def _stash_enabled(lp: int, seq_len: int, n_head: int, d: int) -> bool:
     """Rounds 3y-3ad on-chip A/Bs (docs/BENCHMARKS.md): the stash backward
     wins at Lp=16 (+13% with the G=40 rung it unlocks), Lp=32 (+24.3% with
-    G=16) and Lp=64 (+30% with G=8); it is NEUTRAL at Lp=80 (flagship) and
-    −22% at Lp=144 (vit — the 36 KB/frame probs stash outgrows the
-    recompute it saves). auto = on in the measured-win regime, which is
-    also gated to d<=128: the stash residuals are HBM-resident per LAYER
-    (the d256/L9 arm at Lp=64 batch 8192 measured a 16.17 GB HBM OOM —
-    ~164 KB/frame/layer of stashes — where the recompute backward fits)."""
+    G=16) and Lp=64 (+30% with G=8); the round-3 'NEUTRAL at Lp=80' verdict
+    was a per-call-fetch-tax artifact (CLAUDE.md round 3t-3w) — the round-4
+    AMORTIZED ladder measured +14%/+11.6% at Lp=80 batch 2048/8192 (rawIQ
+    flagship, /tmp/r4_ladder.jsonl -> docs/BENCHMARKS.md round-4), so the
+    auto gate now includes it. Still off at Lp=144 (vit: −22%, the 36
+    KB/frame probs stash outgrows the recompute it saves) and gated to
+    d<=128: the stash residuals are HBM-resident per LAYER (the d256/L9
+    arm at Lp=64 batch 8192 measured a 16.17 GB HBM OOM — ~164
+    KB/frame/layer of stashes — where the recompute backward fits)."""
     env = os.environ.get("VITIQ_TRAIN_STASH", "auto")
     if env == "0" or not _stash_supported(lp, seq_len, n_head):
         return False
     if env == "1":
         return True
-    return lp <= 64 and d <= 128
+    return lp <= 80 and d <= 128
 
 
 def _dwpack_mode(lp: int, seq_len: int, n_head: int, d: int) -> str:
