@@ -1505,6 +1505,17 @@ def _pick_g(Lp: int, D: int, H: int, itemsize: int,
                     + g * rcore_g_bytes <= 11_796_480):
                 return g
         return 1
+    if D > 128:
+        # Round-4 d256/L9 chip ladder (docs/BENCHMARKS.md round 4): G=4
+        # (estimate 10.28 MB at Lp=80) compiles and wins +15% at batch
+        # 2048 AND 8192 on BOTH residual modes; G=5 (12.85 MB estimate)
+        # fails the remote compile. Walk down from the measured-good rung
+        # under the same relaxed budget the Lp<=16 branch uses.
+        for g in (4, 2, 1):
+            if (_train_vmem_estimate(g, Lp, D, H, itemsize)
+                    + g * rcore_g_bytes <= 11_796_480):
+                return g
+        return 1
     for g in (16, 8, 4, 2, 1):
         if (_train_vmem_estimate(g, Lp, D, H, itemsize)
                 + g * rcore_g_bytes <= _TRAIN_VMEM_BUDGET):
