@@ -99,6 +99,17 @@ def main() -> int:
         # the REFERENCE flagship architecture's train step — the apples-to-
         # apples comparison against the reference's only published
         # throughput (~2,330 frames/s train on its GPU)
+        # the reference's BEST-ACCURACY architecture (rawIQ d256/L9
+        # exp_L9_H8_F1024_W1e-3, 63.44% — VERDICT r3 item 3): the round-4
+        # G=4 rung lifted it +15% over the round-3 conservative pick
+        try:
+            trb = bench_train_step("rawiq_best", 8192)
+            line["rawiq_best_train_frames_per_sec"] = trb["value"]
+            line["rawiq_best_train_vs_reference_gpu"] = trb[
+                "vs_reference_gpu"]
+        except Exception as e:
+            print(f"best train bench skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
         try:
             trf = bench_train_step("rawiq", 2048)
             line["rawiq_flagship_train_frames_per_sec"] = trf["value"]
