@@ -448,8 +448,13 @@ def test_stash_gate_and_picker(monkeypatch):
     # round-4 amortized ladder measured +14%/+11.6% at batch 2048/8192
     assert _stash_enabled(80, 65, 8, 128)
     # d>128: stash residuals are HBM-resident per layer — the d256/L9 arm
-    # measured an HBM OOM at batch 8192; auto stays off there
+    # measured an HBM OOM at batch 8192 but a +13.7% win at batch 4096
+    # (round-4 batch-matched A/B), so auto is BATCH-gated there; callers
+    # that don't know the batch stay conservative
     assert not _stash_enabled(64, 64, 8, 256)
+    assert not _stash_enabled(64, 64, 8, 256, batch=8192)
+    assert _stash_enabled(64, 64, 8, 256, batch=4096)
+    assert not _stash_enabled(80, 65, 8, 256, batch=4096)  # CLS Lp=80: compile wall
     monkeypatch.setenv("VITIQ_TRAIN_STASH", "1")
     assert _stash_enabled(80, 65, 8, 128)    # forceable
     monkeypatch.setenv("VITIQ_TRAIN_STASH", "0")

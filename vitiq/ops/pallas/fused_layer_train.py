@@ -127,7 +127,8 @@ def _stash_supported(lp: int, seq_len: int, n_head: int) -> bool:
     return n_tail == 0 and n_head * lp <= 1280
 
 
-def _stash_enabled(lp: int, seq_len: int, n_head: int, d: int) -> bool:
+def _stash_enabled(lp: int, seq_len: int, n_head: int, d: int,
+                   batch: int | None = None) -> bool:
     """Rounds 3y-3ad on-chip A/Bs (docs/BENCHMARKS.md): the stash backward
     wins at Lp=16 (+13% with the G=40 rung it unlocks), Lp=32 (+24.3% with
     G=16) and Lp=64 (+30% with G=8); the round-3 'NEUTRAL at Lp=80' verdict
@@ -144,7 +145,16 @@ def _stash_enabled(lp: int, seq_len: int, n_head: int, d: int) -> bool:
         return False
     if env == "1":
         return True
-    return lp <= 80 and d <= 128
+    if d <= 128:
+        return lp <= 80
+    # d=256 (rawiq_best family): the stash is HBM-capacity-gated, not a
+    # loss — the round-4 batch-matched chip A/B measured +13.7% at Lp=64
+    # batch 4096 (24.28K vs 21.30K at the same G=4 rung) while batch 8192
+    # HBM-OOMs (round 3: 16.17 GB; ~327 KB/frame/layer of stashes x 9
+    # layers). auto = on where the measured fit holds; callers that don't
+    # know the batch (batch=None) stay conservative.
+    return (batch is not None and batch <= 4096
+            and lp <= 64 and d <= 256)
 
 
 def _dwpack_mode(lp: int, seq_len: int, n_head: int, d: int) -> str:
@@ -1575,7 +1585,7 @@ def _run_fwd(n_head, drop, layer_idx, seq_len, seed, x, weights):
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     Lp = _round_up(L, sublane)
     H = weights[6].shape[1]
-    _stash_on = _stash_enabled(Lp, seq_len, n_head, D)
+    _stash_on = _stash_enabled(Lp, seq_len, n_head, D, batch=B)
     G = _pick_g(Lp, D, H, x.dtype.itemsize, stash=_stash_on,
                 rcore_g_bytes=_rcore_g_bytes(Lp, seq_len, n_head, D,
                                              x.dtype.itemsize, _stash_on))
@@ -1664,7 +1674,7 @@ def _fused_train_layer_bwd(n_head, drop, layer_idx, seq_len, res, dy):
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     Lp = _round_up(L, sublane)
     H = weights[6].shape[1]
-    _stash_on = _stash_enabled(Lp, seq_len, n_head, D)
+    _stash_on = _stash_enabled(Lp, seq_len, n_head, D, batch=B)
     G = _pick_g(Lp, D, H, x.dtype.itemsize, stash=_stash_on,
                 rcore_g_bytes=_rcore_g_bytes(Lp, seq_len, n_head, D,
                                              x.dtype.itemsize, _stash_on))
