@@ -9,6 +9,10 @@ set -u
 cd "$(dirname "$0")/.."
 run() {
   local tag="$1" params="$2"
+  if [ -f /tmp/r4_yield ]; then
+    echo "=== yield flag set, skipping rung $tag (re-run later) ==="
+    return
+  fi
   if [ -f "result/proxy19${tag}/head_to_head_summary.json" ]; then
     echo "=== rung $tag already done, skipping ==="
     return
@@ -21,6 +25,11 @@ run() {
 run i_shape '{"cfo_max": 0, "clock_ppm_max": 0, "fading": false}'
 # full chain minus selective fading
 run i_nofade '{"fading": false}'
-# full chain minus carrier frequency offset
-run i_nocfo '{"cfo_max": 0}'
+# full chain minus carrier frequency offset — REDUNDANT with the
+# {iid, shaping-only, nofade, full} ladder (each ingredient's effect is a
+# difference of adjacent rungs); re-enable only if the nofade rung leaves
+# the CFO share ambiguous and the chip has slack.
+if [ "${RUN_NOCFO:-0}" = "1" ]; then
+  run i_nocfo '{"cfo_max": 0}'
+fi
 echo "ABLATION DONE"
