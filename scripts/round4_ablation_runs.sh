@@ -18,7 +18,9 @@ run() {
     return
   fi
   echo "=== rung $tag ($(date +%H:%M:%S)) params=$params ==="
-  timeout 3600 python -u scripts/proxy_head_to_head.py 100 2048 tpu 19 \
+  # 5400s: the first i_shape attempt hit a 3600s wall at ~60 min under
+  # host CPU contention (corpus gen + test suite sharing the single core)
+  timeout 5400 python -u scripts/proxy_head_to_head.py 100 2048 tpu 19 \
     "$params" "$tag" || echo "rung $tag exited rc=$?"
 }
 # pulse shaping + timing jitter only (no CFO/clock/fading): pure RRC ISI
