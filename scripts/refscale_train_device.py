@@ -1,0 +1,287 @@
+#!/usr/bin/env python
+"""Device-resident reference-scale training (VERDICT r3 item 2, fast tier).
+
+The streaming driver (scripts/refscale_train.py) proved the out-of-core
+tier but is H2D-BANDWIDTH-BOUND in this environment: the axon relay moves
+~4 MB/s, so every epoch re-ships the 2.9 GB bf16 train split and costs
+~680 s regardless of compute. TPU-native fix for corpora that FIT in HBM
+(the 2.1M-frame train split is 5.8 GB bf16 vs 16 GB): upload ONCE, then
+run each epoch as a single jitted lax.scan over per-step gather indices —
+zero steady-state H2D beyond a 6 MB index array per epoch, dispatch cost
+amortized to one device call per epoch.
+
+Semantics match fit() (vitiq/train/loop.py): same optimizer/LR-injection,
+label smoothing, per-(seed,step) dropout keys (RBG on TPU), plateau LR +
+early stopping re-primed from history, best-params tracking, per-epoch
+full-permutation shuffle (seeded), drop-last train batches, masked eval.
+Checkpoints are byte-compatible with the streaming driver's
+ckpt_latest — this driver RESUMES the streaming run's trajectory and the
+restart loop semantics still hold (each invocation can resume).
+
+Usage: python scripts/refscale_train_device.py {vit,rawiq_best}
+           [corpus_dir] [total_epochs]
+"""
+import functools
+import json
+import pathlib
+import resource
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main() -> int:
+    from vitiq.utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from vitiq.config import ExperimentConfig
+    from vitiq.data.hdf5 import PackedDataSource
+    from vitiq.models import init_amc_params
+    from vitiq.runner import build_forward_and_preprocess
+    from vitiq.train.checkpoint import load_checkpoint, save_checkpoint, save_params
+    from vitiq.ops.metrics import accuracy, label_smoothed_cross_entropy
+    from vitiq.train.loop import (_as_rbg_key,
+                                  label_smoothed_cross_entropy_per_sample)
+    from vitiq.train.optim import (TrainState, create_train_state,
+                                   get_learning_rate, make_optimizer,
+                                   set_learning_rate)
+    from vitiq.train.schedule import EarlyStopping, ReduceLROnPlateau
+
+    arm = sys.argv[1] if len(sys.argv) > 1 else "rawiq_best"
+    corpus = pathlib.Path(sys.argv[2] if len(sys.argv) > 2
+                          else "result/refscale_corpus")
+    total_epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 60
+
+    out = pathlib.Path(f"result/refscale_{arm}")
+    out.mkdir(parents=True, exist_ok=True)
+    done = out / "DONE"
+    if done.exists():
+        print("already DONE")
+        return 0
+
+    meta = json.loads((corpus / "stats.json").read_text())
+    stats, classes = meta["stats"], meta["classes"]
+
+    preset = {"vit": ExperimentConfig.vit_reference,
+              "rawiq_best": ExperimentConfig.rawiq_best}[arm]
+    cfg = preset(**{"model.numerics": "tpu"})
+    cfg.experiment_name = f"refscale_{arm}"
+    cfg.train.num_epochs = total_epochs
+    tcfg = cfg.train
+    B = tcfg.batch_size
+
+    forward, preprocess = build_forward_and_preprocess(cfg, stats)
+    params = init_amc_params(jax.random.PRNGKey(0), cfg.model)
+    tx = make_optimizer(tcfg)
+
+    # ---- one-time upload: packed shards -> device-resident bf16 ----
+    def upload(split):
+        src = PackedDataSource(corpus / split)
+        n, L = src.num_rows, meta["frame_len"]
+        x_dev = jnp.zeros((n, L, 2), jnp.bfloat16)
+        y_host = np.empty((n,), np.int32)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def put(big, chunk, start):
+            return jax.lax.dynamic_update_slice(big, chunk, (start, 0, 0))
+
+        t0 = time.perf_counter()
+        off = 0
+        for x, y, _ in src.batch_stream(65536, shuffle=False, drop_last=False):
+            x_dev = put(x_dev, jnp.asarray(x.astype(ml_dtypes.bfloat16)),
+                        np.int32(off))
+            y_host[off:off + len(y)] = y
+            off += len(y)
+        x_dev.block_until_ready()
+        mbps = x_dev.nbytes / 2 ** 20 / (time.perf_counter() - t0)
+        print(f"{split}: {n:,} rows -> device "
+              f"({x_dev.nbytes / 2**30:.2f} GB, {mbps:.1f} MB/s)", flush=True)
+        assert off == n
+        return x_dev, jnp.asarray(y_host), src
+
+    x_tr, y_tr, src_tr = upload("train")
+    x_va, y_va, _ = upload("valid")
+    n_tr = int(x_tr.shape[0])
+    steps = n_tr // B  # drop-last, as fit()'s train_batches
+
+    # ---- the epoch as ONE device call ----
+    smoothing = tcfg.label_smoothing
+    on_tpu = jax.default_backend() == "tpu"
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_epoch(state, xd, yd, idx, rng):
+        """idx [steps, B] int32 -> (state, mean loss, mean acc)."""
+
+        def body(st, batch_idx):
+            x = jnp.take(xd, batch_idx, axis=0)
+            y = jnp.take(yd, batch_idx, axis=0)
+            inputs = preprocess(x)
+            drng = jax.random.fold_in(rng, st.step)
+            if on_tpu:
+                drng = _as_rbg_key(drng)
+
+            def loss_fn(p):
+                logits = forward(p, inputs, train=True, rng=drng)
+                return (label_smoothed_cross_entropy(logits, y, smoothing),
+                        logits)
+
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            new_p = jax.tree_util.tree_map(lambda p, u: p + u,
+                                           st.params, updates)
+            st = TrainState(params=new_p, opt_state=opt_state,
+                            step=st.step + 1)
+            return st, (loss, accuracy(logits, y))
+
+        state, (losses, accs) = jax.lax.scan(body, state, idx)
+        return state, losses.mean(), accs.mean()
+
+    n_va = int(x_va.shape[0])
+    va_steps = -(-n_va // B)
+    pad_va = va_steps * B - n_va
+    x_va = jnp.concatenate([x_va, jnp.zeros((pad_va,) + x_va.shape[1:],
+                                            x_va.dtype)]) if pad_va else x_va
+    y_va = jnp.concatenate([y_va, jnp.zeros((pad_va,), y_va.dtype)]
+                           ) if pad_va else y_va
+    va_mask = (jnp.arange(va_steps * B) < n_va).astype(jnp.float32)
+
+    @jax.jit
+    def eval_epoch(params, xd, yd, mask):
+        def body(carry, i):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B, axis=0)
+            x, y, m = sl(xd), sl(yd), sl(mask)
+            logits = forward(params, preprocess(x), train=False)
+            loss = label_smoothed_cross_entropy_per_sample(logits, y, smoothing)
+            correct = (jnp.argmax(logits, -1) == y).astype(jnp.float32) * m
+            ls, cs, cnt = carry
+            return (ls + jnp.sum(loss * m), cs + jnp.sum(correct),
+                    cnt + jnp.sum(m)), None
+
+        (ls, cs, cnt), _ = jax.lax.scan(
+            body, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(())),
+            jnp.arange(va_steps))
+        return ls / cnt, cs / cnt
+
+    # ---- resume (shared ckpt format with the streaming driver) ----
+    ckpt = out / "ckpt_latest"
+    start_epoch = 0
+    history = {"train_loss": [], "train_acc": [], "val_loss": [],
+               "val_acc": [], "lr": [], "epoch_time": []}
+    if ckpt.with_suffix(".npz").exists():
+        template = create_train_state(params, tcfg)
+        try:
+            state, manifest = load_checkpoint(ckpt, template)
+            history = manifest["history"]
+            start_epoch = manifest["epoch"] + 1
+            print(f"resumed from epoch {manifest['epoch']} "
+                  f"(val_loss {manifest['val_loss']:.4f})", flush=True)
+        except Exception as e:
+            print(f"resume failed ({e}); starting fresh", flush=True)
+            state = create_train_state(params, tcfg)
+    else:
+        state = create_train_state(params, tcfg)
+
+    scheduler = ReduceLROnPlateau(factor=tcfg.lr_plateau_factor,
+                                  patience=tcfg.lr_plateau_patience,
+                                  min_lr=tcfg.min_lr)
+    early_stopping = EarlyStopping(patience=tcfg.patience)
+    for past in history["val_loss"]:
+        scheduler.step(past, get_learning_rate(state))
+        early_stopping(past)
+    early_stopping.early_stop = False
+
+    base_rng = jax.random.PRNGKey(tcfg.dropout_seed)
+    rng_np = np.random.default_rng(tcfg.shuffle_seed)
+    t_start = time.perf_counter()
+    stopped_early = False
+    epoch = start_epoch - 1
+    for epoch in range(start_epoch, total_epochs):
+        t0 = time.perf_counter()
+        # per-epoch full permutation, seeded like StreamFeed (seed + epoch)
+        perm = np.random.default_rng(tcfg.shuffle_seed + epoch).permutation(
+            n_tr)[: steps * B].reshape(steps, B).astype(np.int32)
+        state, tr_loss, tr_acc = train_epoch(state, x_tr, y_tr,
+                                             jnp.asarray(perm), base_rng)
+        va_loss, va_acc = eval_epoch(state.params, x_va, y_va, va_mask)
+        tr_loss, tr_acc = float(tr_loss), float(tr_acc)
+        va_loss, va_acc = float(va_loss), float(va_acc)
+        dt = time.perf_counter() - t0
+
+        lr = get_learning_rate(state)
+        new_lr = scheduler.step(va_loss, lr)
+        if new_lr != lr:
+            state = set_learning_rate(state, new_lr)
+        history["train_loss"].append(tr_loss)
+        history["train_acc"].append(tr_acc)
+        history["val_loss"].append(va_loss)
+        history["val_acc"].append(va_acc)
+        history["lr"].append(lr)
+        history["epoch_time"].append(dt)
+        print(f"epoch {epoch + 1}/{total_epochs} train_loss={tr_loss:.4f} "
+              f"train_acc={tr_acc:.4f} val_loss={va_loss:.4f} "
+              f"val_acc={va_acc:.4f} lr={lr:.2e} ({dt:.1f}s)", flush=True)
+
+        stop = early_stopping(va_loss, state.params)
+        if stop or (epoch + 1) % 5 == 0 or (epoch + 1) == total_epochs:
+            save_checkpoint(ckpt, state, epoch, va_loss, history, config=cfg)
+        if stop:
+            stopped_early = True
+            print(f"early stopping at epoch {epoch + 1}")
+            break
+
+    wall = time.perf_counter() - t_start
+    ep_run = epoch + 1 - start_epoch
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024 / 1024
+    print(f"ran {ep_run} epochs in {wall:.0f}s, peak RSS {rss:.1f} GB",
+          flush=True)
+
+    # ---- converged: artifacts via the STREAMING eval path (one pass) ----
+    best = (early_stopping.best_params if early_stopping.best_params
+            is not None else state.params)
+    best = jax.device_get(best)
+    save_params(out / "model_best", best)
+    from vitiq.data.feeds import StreamFeed
+    from vitiq.eval.evaluate import evaluate_feed_with_confusion
+
+    src_te = PackedDataSource(corpus / "test")
+
+    def make_iter(batch_size, shuffle, seed, drop_last):
+        for x, y, z in src_te.batch_stream(batch_size, shuffle=shuffle,
+                                           seed=seed, drop_last=drop_last):
+            yield x.astype(ml_dtypes.bfloat16), y.astype(np.int32), z
+
+    feed = StreamFeed(make_iter, src_te.num_rows,
+                      shuffle_seed=tcfg.shuffle_seed, source=src_te)
+    results = evaluate_feed_with_confusion(
+        forward, best, feed, classes, out / "evaluation", prefix="test",
+        batch_size=B, preprocess_fn=preprocess)
+    report = {
+        "arm": arm,
+        "tier": "device-resident (one-time upload, epoch = one lax.scan)",
+        "epochs": epoch + 1,
+        "stopped_early": bool(stopped_early),
+        "train_frames_total": (epoch + 1) * steps * B,
+        "best_val_loss": float(np.min(history["val_loss"])),
+        "final_lr": history["lr"][-1],
+        "test_overall_accuracy": results["overall_accuracy"],
+        "test_snr_accuracies": results["snr_accuracies"],
+        "epoch_time_p50_s": float(np.median(history["epoch_time"])),
+        "peak_rss_gb_last_proc": rss,
+    }
+    (out / "report.json").write_text(json.dumps(report, indent=2,
+                                                default=float))
+    done.write_text("converged\n")
+    print(json.dumps(report, indent=2, default=float), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
