@@ -2,13 +2,16 @@
 """Device-resident reference-scale training (VERDICT r3 item 2, fast tier).
 
 The streaming driver (scripts/refscale_train.py) proved the out-of-core
-tier but is H2D-BANDWIDTH-BOUND in this environment: the axon relay moves
-~4 MB/s, so every epoch re-ships the 2.9 GB bf16 train split and costs
-~680 s regardless of compute. TPU-native fix for corpora that FIT in HBM
-(the 2.1M-frame train split is 5.8 GB bf16 vs 16 GB): upload ONCE, then
-run each epoch as a single jitted lax.scan over per-step gather indices —
-zero steady-state H2D beyond a 6 MB index array per epoch, dispatch cost
-amortized to one device call per epoch.
+tier but is PER-STEP-DISPATCH-BOUND through the axon relay: 11,484
+host->device batch dispatches per epoch cost ~680 s/epoch regardless of
+compute (bulk device_put measures 260-320 MB/s, so bandwidth is NOT the
+wall). TPU-native fix for corpora that FIT in HBM (the 2.1M-frame train
+split is 5.6 GB bf16 vs 16 GB): upload ONCE (~40 s), then run each epoch
+as ~23 jitted lax.scan calls over per-step gather indices — zero
+steady-state H2D beyond a 6 MB index array per epoch. Measured:
+93 s/epoch incl. eval (7.3x the streaming tier), i.e. 15.8K train
+frames/s at the reference's own batch size 128 — the amortized bench
+rate, from inside the full training loop.
 
 Semantics match fit() (vitiq/train/loop.py): same optimizer/LR-injection,
 label smoothing, per-(seed,step) dropout keys (RBG on TPU), plateau LR +
