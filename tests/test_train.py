@@ -307,6 +307,29 @@ def test_dispatch_sync_does_not_change_trajectory():
                                rtol=1e-6)
 
 
+def test_device_scan_superbatching_matches_per_batch_trajectory():
+    """device_scan_steps (round 4: K train steps fused into one lax.scan
+    device call, collapsing per-step dispatch cost through the relay) is a
+    pure dispatch transform: the training trajectory must match the
+    per-batch path exactly, including the ragged tail that falls back to
+    single steps (410 train rows / batch 64 = 6 batches = one scan-4 group
+    + 2 singles)."""
+    cfg_a = tiny_experiment(num_epochs=2)
+    cfg_b = tiny_experiment(num_epochs=2)
+    cfg_b.train.device_scan_steps = 4
+    train, valid, pre = tiny_data(n_per_class=256)
+    fwd = make_forward(cfg_a.model)
+    params = init_amc_params(jax.random.PRNGKey(0), cfg_a.model)
+    ra = fit(cfg_a, fwd, params, train, valid, preprocess_fn=pre, verbose=False)
+    rb = fit(cfg_b, fwd, params, train, valid, preprocess_fn=pre, verbose=False)
+    np.testing.assert_allclose(ra.history["train_loss"], rb.history["train_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(ra.history["val_loss"], rb.history["val_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(ra.history["val_acc"], rb.history["val_acc"],
+                               rtol=1e-5)
+
+
 def test_rbg_dropout_key_path():
     """The TPU-fast RBG dropout key (vitiq/train/loop.py:_as_rbg_key) must
     drive the forward identically in structure: same shapes, deterministic

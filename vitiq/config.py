@@ -268,6 +268,17 @@ class TrainConfig:
     # record dispatch-synchronized per-step wall times (StepTimer) and emit
     # per-epoch step_p50/step_p90 into history
     profile_steps: bool = False
+    # device-scan superbatching (round 4): stage K train batches in ONE
+    # device_put and run them as a K-step lax.scan in ONE device call.
+    # Collapses per-step dispatch cost — the streaming refscale tier's
+    # 11,484 per-batch dispatches cost ~680 s/epoch through the axon relay
+    # while the identical compute chunk-scanned costs ~93 s (bulk H2D is
+    # 260+ MB/s; dispatch ~55 ms/call is the wall). 0/1 = off (per-batch
+    # steps, the default); active only on single-device meshes (the
+    # sharded path keeps per-batch dispatch for the partitioner). Keep
+    # K*batch device calls in the low hundreds of steps: marathon
+    # epoch-long scans crash the remote TPU worker (CLAUDE.md).
+    device_scan_steps: int = 0
     # parallelism: number of mesh devices along the data / model axes
     data_parallel: int = 1
     model_parallel: int = 1

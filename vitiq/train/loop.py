@@ -90,6 +90,48 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_train_scan_step(
+    forward_fn: Callable,
+    tx,
+    label_smoothing: float,
+    preprocess_fn: Optional[Callable] = None,
+):
+    """K-step fused train call: step(state, xs [K,B,...], ys [K,B], rng) ->
+    (state, mean loss, mean acc). Semantically identical to K calls of
+    make_train_step's step (same per-(seed, state.step) dropout keys, same
+    update order); one device dispatch instead of K
+    (TrainConfig.device_scan_steps)."""
+
+    def step(state: TrainState, xs, ys, rng):
+        on_tpu = jax.default_backend() == "tpu"
+
+        def scan_body(st, batch):
+            x, y = batch
+            inputs = preprocess_fn(x) if preprocess_fn is not None else x
+            drng = jax.random.fold_in(rng, st.step)
+            if on_tpu:
+                drng = _as_rbg_key(drng)
+
+            def loss_fn(params):
+                logits = forward_fn(params, inputs, train=True, rng=drng)
+                return (label_smoothed_cross_entropy(logits, y,
+                                                     label_smoothing), logits)
+
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            st.params, updates)
+            st = TrainState(params=params, opt_state=opt_state,
+                            step=st.step + 1)
+            return st, (loss, accuracy(logits, y))
+
+        state, (losses, accs) = jax.lax.scan(scan_body, state, (xs, ys))
+        return state, losses.mean(), accs.mean()
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_eval_step(
     forward_fn: Callable,
     label_smoothing: float,
@@ -270,6 +312,18 @@ def fit(
 
     train_step = make_train_step(forward_fn, tx, tcfg.label_smoothing, preprocess_fn)
     eval_step = make_eval_step(forward_fn, tcfg.label_smoothing, preprocess_fn)
+    # device-scan superbatching (TrainConfig.device_scan_steps): K train
+    # steps per device call. Single-device only (the sharded path keeps
+    # per-batch dispatch for the partitioner); per-step profiling and
+    # multi-host assembly force it off too.
+    scan_k = tcfg.device_scan_steps if (
+        tcfg.device_scan_steps and tcfg.device_scan_steps > 1
+        and mesh.size == 1 and not profile
+        and jax.process_count() == 1) else 0
+    train_scan_step = (make_train_scan_step(forward_fn, tx,
+                                            tcfg.label_smoothing,
+                                            preprocess_fn)
+                       if scan_k else None)
 
     scheduler = ReduceLROnPlateau(
         factor=tcfg.lr_plateau_factor, patience=tcfg.lr_plateau_patience, min_lr=tcfg.min_lr
@@ -330,10 +384,53 @@ def fit(
             t0 = time.perf_counter()
             losses, accs = [], []
             epoch_steps0 = len(timer.times) if timer else 0
-            batches = device_prefetch(
-                train_feed.train_batches(epoch, tcfg.batch_size),
-                data_sharding, prefetch_depth=tcfg.prefetch_depth,
-                assemble=assemble)
+            if scan_k:
+                def superbatches(src_iter, k=scan_k):
+                    """Group k host batches -> stacked [k, B, ...] arrays;
+                    equal-shape groups only (the ragged tail falls back to
+                    per-batch steps)."""
+                    buf = []
+                    for item in src_iter:
+                        buf.append(item)
+                        if len(buf) == k and all(
+                                b[0].shape == buf[0][0].shape for b in buf):
+                            yield ("scan",
+                                   np.stack([b[0] for b in buf]),
+                                   np.stack([b[1] for b in buf]))
+                            buf = []
+                    for item in buf:
+                        yield ("single",) + tuple(item)
+
+                sb = device_prefetch(
+                    superbatches(train_feed.train_batches(epoch,
+                                                          tcfg.batch_size)),
+                    prefetch_depth=max(2, tcfg.prefetch_depth // 2),
+                    assemble=lambda it: (it[0],) + tuple(
+                        jax.device_put(x) for x in it[1:]))
+                weights = []
+                for kind, bx, by in sb:
+                    if kind == "scan":
+                        state, l, a = train_scan_step(state, bx, by, base_rng)
+                        weights.append(scan_k)
+                    else:
+                        state, m = train_step(state, bx, by, base_rng)
+                        l, a = m["loss"], m["accuracy"]
+                        weights.append(1)
+                    losses.append(l)
+                    accs.append(a)
+                    # each scan call IS dispatch_sync_steps-deep; one
+                    # scalar fetch per call bounds in-flight depth
+                    if tcfg.dispatch_sync_steps:
+                        float(losses[-1])
+                w = jnp.asarray(weights, jnp.float32)
+                losses = [jnp.sum(jnp.stack(losses) * w) / w.sum()]
+                accs = [jnp.sum(jnp.stack(accs) * w) / w.sum()]
+                batches = ()
+            else:
+                batches = device_prefetch(
+                    train_feed.train_batches(epoch, tcfg.batch_size),
+                    data_sharding, prefetch_depth=tcfg.prefetch_depth,
+                    assemble=assemble)
             for bx, by in batches:
                 if timer is not None:
                     with timer.step():
