@@ -47,6 +47,11 @@ run t_best_8192_G6     R4_ARM=rawiq_best R4_BATCH=8192 VITIQ_TRAIN_G=6
 # ---- rawiq_best stash G rung @ 4096 (stash VMEM differs from recompute) ----
 run t_best_4096_stG4   R4_ARM=rawiq_best R4_BATCH=4096 VITIQ_TRAIN_STASH=1 VITIQ_TRAIN_G=4
 run t_best_4096_stG6   R4_ARM=rawiq_best R4_BATCH=4096 VITIQ_TRAIN_STASH=1 VITIQ_TRAIN_G=6
+# ---- batch-matched controls for the stash-vs-recompute A/B at d256 ----
+run t_best_4096_base   R4_ARM=rawiq_best R4_BATCH=4096
+run t_bestmp_4096_base R4_ARM=rawiq_best_mp R4_BATCH=4096
+run t_bestmp_4096_stG4 R4_ARM=rawiq_best_mp R4_BATCH=4096 VITIQ_TRAIN_STASH=1 VITIQ_TRAIN_G=4
+run t_bestmp_4096_G4   R4_ARM=rawiq_best_mp R4_BATCH=4096 VITIQ_TRAIN_G=4
 # ---- flagship rawiq Lp=80: auto now = stash; confirm + walk the stash G rung ----
 run t_rawiq_8192_auto  R4_ARM=rawiq R4_BATCH=8192
 run t_rawiq_8192_stG8  R4_ARM=rawiq R4_BATCH=8192 VITIQ_TRAIN_STASH=1 VITIQ_TRAIN_G=8
