@@ -30,8 +30,18 @@ def main() -> int:
     from vitiq.utils.compile_cache import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
-    from vitiq.bench import TARGET_FPS, bench_fused_infer
+    from vitiq.bench import TARGET_FPS, bench_fused_infer, measure_dispatch_rtt
 
+    # Relay-weather self-diagnostic (VERDICT r4 item 1): the per-dispatch
+    # host<->device round trip on a trivial program. The fori-slope timing
+    # below is immune to it by construction (constant per-call cost cancels
+    # in the shallow/deep slope), but recording it makes any residual
+    # contamination detectable post-hoc. Round-4's regression signature was
+    # ~25-28 ms/step of exactly this leaking through the inner=8 queue.
+    try:
+        rtt = measure_dispatch_rtt()
+    except Exception:
+        rtt = {"p50_ms": -1.0, "min_ms": -1.0}
     try:
         res = bench_fused_infer("vit_tiny", 16384)
     except Exception as e:  # transient "TPU backend error (Internal)" observed
@@ -53,6 +63,10 @@ def main() -> int:
         "backend": res["backend"],
         "config": "vit_tiny (BASELINE config 2: ViT-arm 11-class AMC, "
                   "fused DSP front-end + ViT-d64/L4, 128-sample frames)",
+        "dispatch_rtt_ms_p50": rtt["p50_ms"],
+        "dispatch_rtt_ms_min": rtt["min_ms"],
+        "timing_method": res.get("timing_method", "queue"),
+        "timing_overhead_ms_p50": res.get("overhead_p50_ms", -1.0),
     }
     import os
 

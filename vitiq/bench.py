@@ -161,21 +161,44 @@ def _default_batch() -> int:
 
 
 def _default_inner() -> int:
-    return 8 if jax.default_backend() != "cpu" else 1
+    # queue-mode depth only (VITIQ_BENCH_TIMING=queue); the default fori-slope
+    # path ignores it. 64 keeps even a ~200 ms per-window stall down to ~3 ms
+    # of leak per step (round-4 VERDICT item 1).
+    return 64 if jax.default_backend() != "cpu" else 1
 
 
-def _time_amortized(step_fn: Callable, args, steps: int, inner: int) -> Dict[str, float]:
-    """Honest device timing with per-dispatch overhead amortized.
+def measure_dispatch_rtt(reps: int = 10) -> Dict[str, float]:
+    """Host<->device dispatch+fetch round trip on a trivial program.
 
-    Per-call wall timing through a remote-dispatch transport was observed to
-    under-report by orders of magnitude (completion acks without device
-    execution). Wrapping the loop in an in-jit lax.scan is honest but makes
-    the remote AOT compile pathologically slow for large fused programs, so
-    instead `inner` independent calls (inputs perturbed per iteration so a
-    result can't be reused) are enqueued asynchronously and ONE value fetch at
-    the end forces completion of the whole FIFO queue; total wall / inner is
-    the per-iteration time. Only the single step compiles.
-    """
+    Self-diagnostic for the relay transport (round-4 VERDICT item 1): under
+    'relay weather' the per-dispatch host cost was observed to grow from
+    ~nothing to ~25-55 ms, which contaminates any timing that issues one
+    dispatch per step. Emitted next to every bench number so a contaminated
+    capture is detectable post-hoc."""
+
+    @jax.jit
+    def nop(a):
+        return a + 1.0
+
+    a = jnp.zeros((), jnp.float32)
+    float(nop(a))  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(nop(a))
+        ts.append(time.perf_counter() - t0)
+    ts = np.asarray(ts)
+    return {"p50_ms": float(np.median(ts) * 1e3),
+            "min_ms": float(ts.min() * 1e3)}
+
+
+def _time_queue(step_fn: Callable, args, steps: int, inner: int) -> Dict[str, float]:
+    """Round-3/4 method: `inner` independent async dispatches, one drain fetch.
+
+    Kept for A/Bs (VITIQ_BENCH_TIMING=queue). Weakness (round-4 BENCH
+    regression): per-DISPATCH host cost through the relay (~25-55 ms under bad
+    weather) scales with the number of dispatches, so no queue depth can
+    amortize it — only fewer, bigger device calls can (_time_amortized)."""
     run = jax.jit(step_fn)
     idx = [jnp.asarray(i, jnp.float32) for i in range(inner + 1)]
     float(jnp.sum(run(idx[0], *args).astype(jnp.float32)))  # compile + warm up
@@ -189,7 +212,68 @@ def _time_amortized(step_fn: Callable, args, steps: int, inner: int) -> Dict[str
         times.append((time.perf_counter() - t0) / inner)
     times = np.asarray(times)
     return {"p50_s": float(np.median(times)), "best_s": float(times.min()),
-            "mean_s": float(times.mean())}
+            "mean_s": float(times.mean()), "timing_method": "queue",
+            "inner": inner}
+
+
+def _time_amortized(step_fn: Callable, args, steps: int, inner: int) -> Dict[str, float]:
+    """Honest device timing, robust to per-dispatch relay overhead.
+
+    Round-4 post-mortem (VERDICT item 1): the async-queue method (_time_queue)
+    collapsed 2.4-3.4x under 'relay weather' because the per-DISPATCH host
+    cost (measured up to ~55 ms/step, docs/BENCHMARKS.md:1102) scales with the
+    number of dispatches — queue depth cannot amortize it. The fix runs K
+    dependent iterations inside ONE jitted lax.fori_loop device call (inputs
+    perturbed by the loop index so nothing hoists; outputs folded into the
+    carry so nothing DCEs) and reports the SLOPE between a shallow (k_small)
+    and a deep (k_big) call: the constant per-call cost (dispatch + RTT +
+    result fetch) cancels exactly in the difference. The trip count is a
+    traced operand, so one compile serves both depths; k_big is adapted to
+    ~3 s of device work and capped at 256 (an 11.5K-step marathon call
+    reproducibly crashed the remote TPU worker; few-hundred-step calls are
+    the measured-safe regime). VITIQ_BENCH_TIMING=queue restores the old
+    method for A/Bs.
+    """
+    if os.environ.get("VITIQ_BENCH_TIMING", "scan") == "queue":
+        return _time_queue(step_fn, args, steps, inner)
+    on_cpu = jax.default_backend() == "cpu"
+    k_small = int(os.environ.get("VITIQ_BENCH_K_SMALL", "1" if on_cpu else "8"))
+    k_cap = int(os.environ.get("VITIQ_BENCH_K_CAP", "3" if on_cpu else "256"))
+    reps = int(os.environ.get("VITIQ_BENCH_REPS", "2" if on_cpu else "5"))
+
+    @jax.jit
+    def run(n, *args):
+        def body(i, c):
+            out = step_fn(i.astype(jnp.float32), *args)
+            return c + jnp.sum(out.astype(jnp.float32)) * 1e-12
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    def timed(k: int) -> float:
+        t0 = time.perf_counter()
+        float(run(jnp.asarray(k, jnp.int32), *args))
+        return time.perf_counter() - t0
+
+    timed(k_small)  # compile + warm up
+    t_small0 = timed(k_small)
+    est_step = max(t_small0 / k_small, 1e-6)  # upper bound (includes overhead)
+    k_big = int(np.clip(round(3.0 / est_step), k_small * 3, k_cap))
+    slopes, overheads = [], []
+    for r in range(reps):
+        # alternate the order so slow host-side drift cancels across reps
+        if r % 2 == 0:
+            ts, tb = timed(k_small), timed(k_big)
+        else:
+            tb, ts = timed(k_big), timed(k_small)
+        slope = max((tb - ts) / (k_big - k_small), 1e-9)
+        slopes.append(slope)
+        overheads.append(max(ts - k_small * slope, 0.0))
+    s = np.asarray(slopes)
+    return {"p50_s": float(np.median(s)), "best_s": float(s.min()),
+            "mean_s": float(s.mean()),
+            "overhead_p50_ms": float(np.median(overheads) * 1e3),
+            "k_small": k_small, "k_big": k_big,
+            "timing_method": "fori-slope"}
 
 
 def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
@@ -237,7 +321,7 @@ def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
     t = _time_amortized(infer, (params, x), steps, _default_inner())
     fps = batch_size / t["p50_s"]
     suffix = "" if n_head is None else f"_h{n_head}"
-    return {
+    out = {
         "metric": f"iq_frames_per_sec_per_chip_{arm}{suffix}",
         "value": fps,
         "unit": "frames/s",
@@ -247,6 +331,10 @@ def bench_fused_infer(arm: str = "vit", batch_size: Optional[int] = None,
         "backend": jax.default_backend(),
         "numerics": numerics,
     }
+    for k in ("timing_method", "overhead_p50_ms", "k_big"):
+        if k in t:
+            out[k] = t[k]
+    return out
 
 
 def bench_int8_infer(arm: str = "vit", batch_size: Optional[int] = None,
@@ -302,21 +390,25 @@ def bench_train_step(arm: str = "vit", batch_size: Optional[int] = None,
         (batch_size, cfg.seq_length, 2)), jnp.float32)
     y = jnp.zeros((batch_size,), jnp.int32)
 
-    # donated state threads through the loop; fetching the loss scalar to the
-    # host forces true completion (block_until_ready alone was observed to
-    # under-report through remote-dispatch transports).
-    #
-    # Timing uses the SAME async-queue amortization as the serving benches
-    # (_time_amortized): enqueue `inner` dependent step dispatches, fetch ONE
-    # loss scalar at the end to drain the device FIFO. The original per-call
-    # loop fetched the loss EVERY step, which charges a full host<->relay
-    # round trip to each step — round-3w measured that tax at ~30 ms/step on
-    # the axon transport (seg-64 mp @ 8192: 82.8 ms per-call vs ~53 ms
-    # amortized), so per-call numbers measured the tunnel, not the chip.
-    # VITIQ_TRAIN_TIMING=percall restores the old loop for A/Bs.
+    # Timing history (round-3w -> round-5):
+    # * percall: fetch the loss every step — charges a full host<->relay RTT
+    #   to each step (~25-30 ms measured, round 3w). VITIQ_TRAIN_TIMING=percall.
+    # * queue: enqueue `inner` dependent dispatches, one drain fetch (round
+    #   3w-4 default). Collapsed 2.4-3.4x in the round-4 driver capture:
+    #   per-DISPATCH host cost through the relay (up to ~55 ms under bad
+    #   weather) scales with dispatch count, so queue depth cannot amortize
+    #   it. VITIQ_TRAIN_TIMING=queue.
+    # * amortized (default): K dependent steps inside ONE jitted fori_loop
+    #   device call (trajectory-identical to K per-call steps: same
+    #   per-(seed, state.step) dropout keys, same update order — the
+    #   device-scan superbatching semantics, vitiq/train/loop.py), timed as
+    #   the SLOPE between a shallow and a deep call so the constant per-call
+    #   dispatch+RTT+fetch cost cancels exactly.
     state, m = step(state, x, y, rng)  # compile + donate once
     float(m["loss"])
-    if os.environ.get("VITIQ_TRAIN_TIMING", "amortized") == "percall":
+    mode = os.environ.get("VITIQ_TRAIN_TIMING", "amortized")
+    extra: Dict[str, object] = {"timing_method": mode}
+    if mode == "percall":
         times = []
         for _ in range(steps):
             t0 = time.perf_counter()
@@ -324,7 +416,7 @@ def bench_train_step(arm: str = "vit", batch_size: Optional[int] = None,
             float(metrics["loss"])
             times.append(time.perf_counter() - t0)
         p50 = float(np.median(times))
-    else:
+    elif mode == "queue":
         inner = max(min(steps, 10), 1)
         outer = max(steps // inner, 3)
         times = []
@@ -336,6 +428,52 @@ def bench_train_step(arm: str = "vit", batch_size: Optional[int] = None,
             float(metrics["loss"])  # drains the device queue
             times.append((time.perf_counter() - t0) / inner)
         p50 = float(np.median(times))
+    else:
+        import functools
+
+        # raw (unjitted) step body: calling the jitted wrapper inside the
+        # trace would inline fine but spams donation warnings
+        inner_step = getattr(step, "__wrapped__", step)
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def run_train(n, st, x, y, rng):
+            def body(i, st):
+                st, _ = inner_step(st, x + i.astype(x.dtype) * 1e-6, y, rng)
+                return st
+
+            return jax.lax.fori_loop(0, n, body, st)
+
+        on_cpu = jax.default_backend() == "cpu"
+        k_small = int(os.environ.get("VITIQ_BENCH_K_SMALL",
+                                     "1" if on_cpu else "4"))
+        k_cap = int(os.environ.get("VITIQ_BENCH_K_CAP",
+                                   "3" if on_cpu else "256"))
+        reps = int(os.environ.get("VITIQ_BENCH_REPS", "2" if on_cpu else "5"))
+
+        def timed(k: int, st):
+            t0 = time.perf_counter()
+            st = run_train(jnp.asarray(k, jnp.int32), st, x, y, rng)
+            float(st.step)  # forces completion of the whole call
+            return time.perf_counter() - t0, st
+
+        _, state = timed(k_small, state)  # compile + warm up
+        t_small0, state = timed(k_small, state)
+        est_step = max(t_small0 / k_small, 1e-6)
+        k_big = int(np.clip(round(3.0 / est_step), k_small * 3, k_cap))
+        slopes, overheads = [], []
+        for r in range(reps):
+            if r % 2 == 0:
+                ts, state = timed(k_small, state)
+                tb, state = timed(k_big, state)
+            else:
+                tb, state = timed(k_big, state)
+                ts, state = timed(k_small, state)
+            slope = max((tb - ts) / (k_big - k_small), 1e-9)
+            slopes.append(slope)
+            overheads.append(max(ts - k_small * slope, 0.0))
+        p50 = float(np.median(slopes))
+        extra.update(timing_method="fori-slope", k_small=k_small, k_big=k_big,
+                     overhead_p50_ms=float(np.median(overheads) * 1e3))
     return {
         "metric": f"train_frames_per_sec_per_chip_{arm}",
         "value": batch_size / p50,
@@ -344,6 +482,7 @@ def bench_train_step(arm: str = "vit", batch_size: Optional[int] = None,
         "p50_step_ms": p50 * 1e3,
         "vs_reference_gpu": (batch_size / p50) / REFERENCE_GPU_TRAIN_FPS,
         "backend": jax.default_backend(),
+        **extra,
     }
 
 
