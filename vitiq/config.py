@@ -274,11 +274,13 @@ class TrainConfig:
     # 11,484 per-batch dispatches cost ~680 s/epoch through the axon relay
     # while the identical compute chunk-scanned costs ~93 s (bulk H2D is
     # 260+ MB/s; dispatch ~55 ms/call is the wall). 0/1 = off (per-batch
-    # steps, the default); active only on single-device meshes (the
-    # sharded path keeps per-batch dispatch for the partitioner). Keep
-    # K*batch device calls in the low hundreds of steps: marathon
-    # epoch-long scans crash the remote TPU worker (CLAUDE.md).
-    device_scan_steps: int = 0
+    # steps). Round 5 (VERDICT r4 items 5/6): default 64 — trajectory-
+    # identical by construction (CI-pinned single-device AND on a dp mesh),
+    # and 64-step calls sit inside the measured-safe few-hundred-step
+    # window (marathon epoch-long scans crash the remote TPU worker,
+    # CLAUDE.md). Works on single-process meshes via scan_batch_sharding;
+    # multi-host feeding and profile_steps force per-batch dispatch.
+    device_scan_steps: int = 64
     # parallelism: number of mesh devices along the data / model axes
     data_parallel: int = 1
     model_parallel: int = 1
@@ -377,6 +379,62 @@ class ExperimentConfig:
             if p.exists():
                 text = p.read_text()
         return cls.from_dict(json.loads(text))
+
+    @classmethod
+    def from_reference_dict(cls, d: Dict[str, Any],
+                            arm: Optional[str] = None) -> "ExperimentConfig":
+        """Convert a REFERENCE config dict (the UPPERCASE class-attribute
+        Config the reference persists as config.json per checkpoint dir and
+        embeds in .pth checkpoints, ref: ViT/training/train.py:42-110,
+        transformer_rawIQ/training/train.py:43-167 / :378-381) into an
+        ExperimentConfig — the interop half of `vitiq evaluate
+        --torch-checkpoint`. Arm auto-detection: EMBEDDING_TYPE/SEGMENT_SIZE
+        present -> rawiq; else vit."""
+        if arm is None:
+            arm = ("rawiq" if ("EMBEDDING_TYPE" in d or "SEGMENT_SIZE" in d
+                               or "USE_CLS_TOKEN" in d) else "vit")
+        mods = tuple(d.get("TARGET_MODULATIONS", TARGET_MODULATIONS_19))
+        model = ModelConfig(
+            arm=arm,
+            num_classes=len(mods),
+            d_model=int(d.get("D_MODEL", 128)),
+            n_head=int(d.get("N_HEAD", 8)),
+            n_layers=int(d.get("N_LAYERS", 6)),
+            ffn_hidden=int(d.get("FFN_HIDDEN",
+                                 4 * int(d.get("D_MODEL", 128)))),
+            drop_prob=float(d.get("DROP_PROB", 0.1)),
+            # the reference evaluates its published checkpoints in f32
+            numerics="reference",
+        )
+        if arm == "vit":
+            model.patch_size = int(d.get("PATCH_SIZE", 4))
+        else:
+            model.seq_length = int(d.get("SEQ_LENGTH", 1024))
+            model.embedding_type = str(d.get("EMBEDDING_TYPE", "segment"))
+            model.segment_size = int(d.get("SEGMENT_SIZE", 16))
+            model.use_cls_token = bool(d.get("USE_CLS_TOKEN", True))
+        data = DataConfig(
+            source="hdf5",
+            file_path=str(d.get("FILE_PATH", "")),
+            json_path=str(d.get("JSON_PATH", "")),
+            target_modulations=mods,
+            train_size=float(d.get("TRAIN_SIZE", 0.7)),
+            valid_size=float(d.get("VALID_SIZE", 0.15)),
+            test_size=float(d.get("TEST_SIZE", 0.15)),
+            split_seed=int(d.get("SPLIT_SEED", 42)),
+            norm_seed=int(d.get("NORM_SEED", 49)),
+        )
+        train = TrainConfig(
+            batch_size=int(d.get("BATCH_SIZE", 256)),
+            num_epochs=int(d.get("NUM_EPOCHS", 100)),
+            learning_rate=float(d.get("LEARNING_RATE", 1e-4)),
+            weight_decay=float(d.get("WEIGHT_DECAY", 1e-3)),
+            label_smoothing=float(d.get("LABEL_SMOOTHING", 0.1)),
+            patience=int(d.get("PATIENCE", 10)),
+            save_freq=int(d.get("SAVE_FREQ", 10)),
+        )
+        return cls(model=model, data=data, train=train,
+                   experiment_name=f"reference_import_{arm}")
 
     # ---- reference presets -------------------------------------------------
     @classmethod

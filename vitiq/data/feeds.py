@@ -173,11 +173,25 @@ class ProcessShardFeed(DataFeed):
     def train_batches(self, epoch: int, batch_size: int) -> Iterator[Batch]:
         sl = self.local_rows(batch_size)
         for bx, by in self._inner.train_batches(epoch, batch_size):
+            # the slice was derived from batch_size; a partial batch would be
+            # silently mis-sharded (rows duplicated/lost across processes) —
+            # fail loudly instead (ADVICE r4; train feeds drop-last today)
+            if bx.shape[0] != batch_size:
+                raise ValueError(
+                    f"ProcessShardFeed.train_batches: got a partial batch of "
+                    f"{bx.shape[0]} rows (expected {batch_size}); per-process "
+                    f"sharding requires equal-size batches — use a drop-last "
+                    f"train feed")
             yield bx[sl], by[sl]
 
     def eval_batches(self, batch_size: int) -> Iterator[EvalBatch]:
         sl = self.local_rows(batch_size)
         for bx, by, mask in self._inner.eval_batches(batch_size):
+            if bx.shape[0] != batch_size:
+                raise ValueError(
+                    f"ProcessShardFeed.eval_batches: got a partial batch of "
+                    f"{bx.shape[0]} rows (expected {batch_size}); pad+mask "
+                    f"eval batches to a fixed size before process sharding")
             yield bx[sl], by[sl], mask[sl]
 
     def raw_batches(self, batch_size: int) -> Iterator[RawBatch]:

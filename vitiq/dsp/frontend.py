@@ -128,6 +128,27 @@ def preprocess_batch_rawiq(x: jnp.ndarray, stats: Dict[str, float]) -> jnp.ndarr
     return ((x - mean) / std).transpose(0, 2, 1)
 
 
+_HYBRID_LOGGED: set = set()
+
+
+def _log_hybrid_engaged_once(method: str, window: int) -> None:
+    """One-time notice that the hybrid open-loop extrapolation replaced the
+    full per-symbol feedback loop (ADVICE r4: the default silently changes
+    behavior vs the reference on inputs with intra-frame clock drift;
+    hybrid_window=0 restores the exact contract loop). Accuracy envelope at
+    the corpus's 500 ppm worst case is pinned by
+    tests/test_sps_e2e.py::test_hybrid_parity_under_clock_drift."""
+    key = (method, window)
+    if key not in _HYBRID_LOGGED:
+        _HYBRID_LOGGED.add(key)
+        import logging
+
+        logging.getLogger("vitiq.dsp").info(
+            "timing recovery %r using HYBRID loop (window=%d); set "
+            "timing_hybrid_window=0 for the full per-symbol feedback loop",
+            method, window)
+
+
 def preprocess_batch_sps(x: jnp.ndarray, sps: int, alpha: float = 0.35,
                          span: int = 8,
                          method: str = "simple_energy",
@@ -171,6 +192,7 @@ def preprocess_batch_sps(x: jnp.ndarray, sps: int, alpha: float = 0.35,
                                       hybrid_timing_positions)
 
         if hybrid_window and hybrid_window < n_sym:
+            _log_hybrid_engaged_once(method, hybrid_window)
             positions, _valid = hybrid_timing_positions(
                 filtered[..., 0], filtered[..., 1], sps, method,
                 window=hybrid_window)

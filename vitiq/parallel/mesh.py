@@ -132,6 +132,19 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def scan_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a [K, B, ...] stacked superbatch (device-scan
+    superbatching, vitiq/train/loop.py): the scan (K) axis stays unsharded —
+    every device steps through the same K sub-batches in lockstep — while
+    each sub-batch's B axis splits over the data axes exactly like
+    batch_sharding. Scan-of-sharded-steps composes with the partitioner: the
+    per-step collectives (grad psums) are identical to the per-dispatch
+    path's, just issued from inside one device call."""
+    if "dcn_data" in mesh.axis_names:
+        return NamedSharding(mesh, P(None, ("dcn_data", "data")))
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
