@@ -19,6 +19,11 @@ RUNGS = [
     ("shaping-only", "result/proxy19i_shape", "RRC sps=8 + timing jitter (ISI)"),
     ("no-fading", "result/proxy19i_nofade", "shaping + CFO + clock offset"),
     ("full chain", "result/proxy19i", "shaping + CFO + clock + Rician fading"),
+    # corpus-size control (VERDICT r4 item 4): full chain at 2x the
+    # frames/class budget — does the residual overall inversion shrink as
+    # the corpus grows toward the reference's 2.55M-frame regime?
+    ("full chain @4096/cls", "result/proxy19i4k",
+     "full chain, 4096 frames/class"),
 ]
 
 

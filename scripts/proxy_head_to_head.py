@@ -74,6 +74,7 @@ def main() -> int:
         vit_cfg, rawiq_cfg,
         comparison_dir=str(out_root / "comparison_results"),
         verbose=True,
+        resume="auto",  # interrupted rungs re-run with the same command
     )
     out = out_root / "head_to_head_summary.json"
     out.write_text(json.dumps(summary, indent=2, default=float))

@@ -228,6 +228,18 @@ def main() -> int:
         scheduler.step(past, get_learning_rate(state))
         early_stopping(past)
     early_stopping.early_stop = False
+    # Across restarts the historical best params live in model_best.npz; seed
+    # the tracker with them so a resumed leg that never beats the historical
+    # best still evaluates the TRUE best, not the final params (round-5 fix).
+    best_snapshot = out / "model_best.npz"
+    if start_epoch > 0 and best_snapshot.exists():
+        from vitiq.train.checkpoint import load_params
+
+        try:
+            early_stopping.best_params = load_params(best_snapshot, params)
+            print("seeded best_params from model_best.npz", flush=True)
+        except Exception as e:
+            print(f"best_params seed failed ({e}); tracking fresh", flush=True)
 
     base_rng = jax.random.PRNGKey(tcfg.dropout_seed)
     rng_np = np.random.default_rng(tcfg.shuffle_seed)

@@ -168,6 +168,20 @@ def cmd_train(args) -> int:
 
 
 def cmd_evaluate(args) -> int:
+    if getattr(args, "torch_checkpoint", None):
+        from vitiq.runner import run_reference_evaluation
+
+        res = run_reference_evaluation(
+            args.torch_checkpoint, config_path=args.config,
+            output_dir=args.output, dataset=args.dataset,
+            batch_size=args.batch_size, data_path=args.data_path,
+            json_path=args.json_path)
+        print(f"overall accuracy: {res['overall_accuracy'] * 100:.2f}%")
+        for snr, acc in sorted(res["snr_accuracies"].items()):
+            print(f"  SNR {snr:+3d} dB: {acc * 100:.2f}%")
+        return 0
+    if not args.checkpoint:
+        raise SystemExit("evaluate: --checkpoint or --torch-checkpoint is required")
     from vitiq.runner import run_evaluation
 
     res = run_evaluation(args.checkpoint, dataset=args.dataset,
@@ -287,8 +301,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("evaluate", help="Evaluate a trained experiment")
-    p.add_argument("--checkpoint", required=True,
+    p.add_argument("--checkpoint",
                    help="Experiment directory (containing config.json + model_best)")
+    p.add_argument("--torch-checkpoint", dest="torch_checkpoint",
+                   help="Evaluate a REFERENCE PyTorch .pth instead: imports "
+                        "the weights through vitiq.interop and produces the "
+                        "full eval artifact set (config from --config, a "
+                        "sibling config.json, or the checkpoint's embedded "
+                        "reference config)")
+    p.add_argument("--data-path", dest="data_path",
+                   help="HDF5 dataset path override (with --torch-checkpoint)")
+    p.add_argument("--json-path", dest="json_path",
+                   help="classes JSON path override (with --torch-checkpoint)")
+    p.add_argument("--output",
+                   help="Artifact directory (with --torch-checkpoint; default "
+                        "result/reference_import/<stem>/evaluation)")
     p.add_argument("--dataset", choices=["train", "valid", "test"], default="test")
     p.add_argument("--batch_size", type=int)
     p.add_argument("--config", type=str, help="Override config JSON path")

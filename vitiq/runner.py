@@ -217,6 +217,25 @@ def run_training(
 
     resume_state = resume_history = None
     start_epoch = 0
+    if resume == "auto":
+        # auto-discover the newest checkpoint in the experiment dir (epoch-
+        # numbered saves + the interrupt-rescue snapshot) so an interrupted
+        # run can be re-launched with the same command (round-5: lets the
+        # ablation-rung driver resume instead of retraining from scratch)
+        candidates = []
+        for p in exp_dir.glob("checkpoint_epoch_*.json"):
+            try:
+                candidates.append((int(p.stem.rsplit("_", 1)[1]), p))
+            except ValueError:
+                continue
+        p_int = exp_dir / "checkpoint_interrupted.json"
+        if p_int.exists():
+            try:
+                candidates.append(
+                    (json.loads(p_int.read_text())["epoch"] + 1, p_int))
+            except Exception:
+                pass
+        resume = str(max(candidates)[1].with_suffix("")) if candidates else None
     if resume:
         template = create_train_state(params, cfg.train)
         try:
@@ -326,14 +345,18 @@ def run_head_to_head(
     rawiq_cfg: ExperimentConfig,
     comparison_dir: str = "comparison_results",
     verbose: bool = True,
+    resume: Optional[str] = None,
 ) -> Dict:
     """BASELINE.json config 4: train BOTH arms on identical data, evaluate
     each, and run the cross-arm comparison — the workflow the reference
-    performs manually across its two script trees + compare_models.py."""
+    performs manually across its two script trees + compare_models.py.
+    `resume="auto"` resumes each arm from the newest checkpoint in its
+    experiment dir (round 5: lets an interrupted rung re-run with the same
+    command instead of retraining from scratch)."""
     from vitiq.eval import ModelComparison
 
-    vit_summary = run_training(vit_cfg, verbose=verbose)
-    rawiq_summary = run_training(rawiq_cfg, verbose=verbose)
+    vit_summary = run_training(vit_cfg, resume=resume, verbose=verbose)
+    rawiq_summary = run_training(rawiq_cfg, resume=resume, verbose=verbose)
     vit_report = (Path(vit_summary["experiment_dir"]) / "evaluation"
                   / "test_classification_report.txt")
     rawiq_report = (Path(rawiq_summary["experiment_dir"]) / "evaluation"
@@ -414,6 +437,91 @@ def run_evaluation(
         return evaluate_feed_with_confusion(
             fwd, params, feeds[dataset], class_names, exp_dir / "evaluation",
             prefix=prefix, batch_size=cfg.train.batch_size,
+            preprocess_fn=preprocess, verbose=verbose,
+        )
+    finally:
+        for f in feeds.values():
+            f.close()
+
+
+def run_reference_evaluation(
+    torch_checkpoint: str,
+    config_path: Optional[str] = None,
+    output_dir: Optional[str] = None,
+    dataset: str = "test",
+    batch_size: Optional[int] = None,
+    data_path: Optional[str] = None,
+    json_path: Optional[str] = None,
+    verbose: bool = True,
+) -> Dict:
+    """One-command reference-checkpoint import-and-evaluate (VERDICT r4
+    item 8): given a reference .pth and its dataset, produce the full eval
+    artifact set without retraining.
+
+    Config resolution, in order: `config_path` (either a vitiq config JSON
+    or the reference's UPPERCASE per-checkpoint config.json — auto-detected
+    by key case, ref: transformer_rawIQ/training/train.py:378-381); a
+    config.json sitting next to the .pth (or in its parent dir); the
+    'config' dict the reference embeds in its training checkpoints
+    (ref: ViT/training/utils.py:66-119). `data_path`/`json_path` override
+    the config's dataset location (the reference persists Windows paths).
+    Artifacts land in `output_dir` (default
+    result/reference_import/<stem>/evaluation — never next to a read-only
+    .pth). Weight import runs through vitiq.interop (parity vs the real
+    reference modules pinned at atol 1e-5, tests/test_reference_golden.py).
+    """
+    import torch
+
+    ckpt_path = Path(torch_checkpoint)
+    blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = blob.get("model_state_dict", blob) if isinstance(blob, dict) else blob
+
+    def _cfg_from_json(p: Path) -> ExperimentConfig:
+        d = json.loads(Path(p).read_text())
+        if any(k.isupper() for k in d):
+            return ExperimentConfig.from_reference_dict(d)
+        return ExperimentConfig.from_dict(d)
+
+    cfg = None
+    if config_path:
+        cfg = _cfg_from_json(Path(config_path))
+    else:
+        for cand in (ckpt_path.with_suffix(".json"),
+                     ckpt_path.parent / "config.json"):
+            if cand.exists():
+                cfg = _cfg_from_json(cand)
+                break
+        if cfg is None and isinstance(blob, dict) and blob.get("config"):
+            cfg = ExperimentConfig.from_reference_dict(blob["config"])
+    if cfg is None:
+        raise FileNotFoundError(
+            f"no config found for {ckpt_path}: pass --config, place a "
+            f"config.json next to the checkpoint, or use a reference "
+            f"training checkpoint with an embedded config")
+
+    if data_path:
+        cfg.data.file_path = data_path
+        cfg.data.source = "hdf5"
+    if json_path:
+        cfg.data.json_path = json_path
+    if batch_size:
+        cfg.train.batch_size = batch_size
+    cfg.model.validate()
+
+    from vitiq.interop import load_torch_state_dict
+
+    params = load_torch_state_dict(sd, cfg.model)
+
+    out = Path(output_dir) if output_dir else (
+        Path("result/reference_import") / ckpt_path.stem / "evaluation")
+    feeds, stats, class_names = load_experiment_feeds(cfg)
+    fwd, preprocess = build_forward_and_preprocess(cfg, stats)
+    from vitiq.eval import evaluate_feed_with_confusion
+
+    try:
+        return evaluate_feed_with_confusion(
+            fwd, params, feeds[dataset], class_names, out,
+            prefix=dataset, batch_size=cfg.train.batch_size,
             preprocess_fn=preprocess, verbose=verbose,
         )
     finally:
