@@ -109,3 +109,107 @@ def test_bench_sps_infer_smoke():
     assert r["value"] > 0
     assert r["sps"] == 2
     assert "sps2_simple_energy" in r["metric"]
+
+
+def test_hybrid_parity_under_clock_drift():
+    """Safety envelope for the hybrid-timing DEFAULT (VERDICT r4 item 7 /
+    ADVICE r4): at the corpus's ±500 ppm sample-clock-offset worst case
+    (uniform strobes drift ~0.5 sample across a 512-symbol frame) the
+    hybrid open-loop extrapolation (timing_hybrid_window=64) must classify
+    at parity with the reference's full per-symbol feedback loop
+    (hybrid_window=0). A tiny classifier is trained through the hybrid
+    path on drift-free shaped frames, then both timing paths evaluate the
+    SAME worst-case drifting test set."""
+    import jax
+    import jax.numpy as jnp
+
+    from vitiq.data.synthetic import _symbols
+    from vitiq.dsp import preprocess_batch_rawiq, preprocess_batch_sps
+    from vitiq.dsp.taps import rrc_filter
+    from vitiq.models import init_amc_params, make_forward
+
+    sps, n_sym, Q = 2, 512, 8
+    classes = ("BPSK", "QPSK", "16QAM")
+    taps = rrc_filter(alpha=0.35, span=8, sps=sps * Q)
+
+    def shaped(mod, F, ppm, rng, snr_db=15.0):
+        """RRC frames sampled on a receiver clock offset by `ppm` (fine-grid
+        synthesis at Q x the output rate, uniform decimation — symbol
+        instants drift ppm*1e-6 per output sample, the ChannelModel
+        clock-offset recipe)."""
+        out = np.zeros((F, n_sym * sps, 2), np.float32)
+        pad = 8
+        for f in range(F):
+            syms = _symbols(mod, n_sym + pad, rng)
+            eps = rng.uniform(-1.0, 1.0) * ppm * 1e-6 if ppm else 0.0
+            fine_n = (n_sym + pad) * sps * Q
+            up = np.zeros(fine_n, complex)
+            pos = np.round(np.arange(n_sym + pad) * sps * Q * (1 + eps)
+                           ).astype(int)
+            pos = pos[pos < fine_n]
+            up[pos] = syms[: len(pos)]
+            sh = np.convolve(up, taps, mode="same")
+            samp = sh[::Q][: n_sym * sps]
+            samp = samp / np.sqrt(np.mean(np.abs(samp) ** 2))  # unit power
+            p = 1.0
+            nstd = np.sqrt(p / (10 ** (snr_db / 10)) / 2)
+            samp = samp + nstd * (rng.standard_normal(len(samp))
+                                  + 1j * rng.standard_normal(len(samp)))
+            out[f, :, 0], out[f, :, 1] = samp.real, samp.imag
+        return out
+
+    rng = np.random.default_rng(11)
+    xs, ys = [], []
+    for ci, mod in enumerate(classes):
+        xs.append(shaped(mod, 96, 0.0, rng))
+        ys.append(np.full(96, ci, np.int32))
+    x_tr = np.concatenate(xs)
+    y_tr = np.concatenate(ys)
+    xs, ys = [], []
+    for ci, mod in enumerate(classes):
+        xs.append(shaped(mod, 32, 500.0, rng))  # the worst-case rung
+        ys.append(np.full(32, ci, np.int32))
+    x_te = jnp.asarray(np.concatenate(xs))
+    y_te = np.concatenate(ys)
+
+    cfg = ModelConfig(arm="rawiq", num_classes=3, d_model=32, n_head=4,
+                      n_layers=2, ffn_hidden=64, drop_prob=0.0,
+                      seq_length=n_sym, segment_size=16)
+    stats = {"i_mean": 0.0, "i_std": 1.0, "q_mean": 0.0, "q_std": 1.0}
+    fwd = make_forward(cfg)
+
+    def pre(x, window):
+        sym = preprocess_batch_sps(x, sps, method="gardner",
+                                   hybrid_window=window)
+        return preprocess_batch_rawiq(sym, stats)
+
+    from vitiq.config import TrainConfig
+    from vitiq.train.loop import make_train_step
+    from vitiq.train.optim import create_train_state, make_optimizer
+
+    tcfg = TrainConfig(batch_size=32, learning_rate=3e-3, weight_decay=1e-4)
+    params = init_amc_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(tcfg)
+    state = create_train_state(params, tcfg)
+    step = make_train_step(fwd, tx, tcfg.label_smoothing,
+                           lambda x: pre(x, 64))
+    rng_j = jax.random.PRNGKey(0)
+    order = np.random.default_rng(0)
+    for _ in range(8):
+        perm = order.permutation(len(x_tr))
+        for s in range(0, len(perm) - 31, 32):
+            bi = perm[s:s + 32]
+            state, _ = step(state, jnp.asarray(x_tr[bi]),
+                            jnp.asarray(y_tr[bi]), rng_j)
+
+    def accuracy_at(window):
+        logits = fwd(state.params, pre(x_te, window), train=False)
+        return float(np.mean(np.argmax(np.asarray(logits), -1) == y_te))
+
+    acc_full = accuracy_at(0)
+    acc_hybrid = accuracy_at(64)
+    # the model must have learned the task for the gate to mean anything
+    assert acc_full > 0.6, f"full-loop accuracy too low ({acc_full:.3f})"
+    assert acc_hybrid >= acc_full - 0.04, (
+        f"hybrid timing lost accuracy under 500 ppm drift: "
+        f"full={acc_full:.3f} hybrid={acc_hybrid:.3f}")
