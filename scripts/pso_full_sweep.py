@@ -27,11 +27,17 @@ def main() -> int:
 
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 25
     out = sys.argv[2] if len(sys.argv) > 2 else "docs/pso_full_sweep.json"
+    # train_steps=400 (round 5): the 30-step budget could not rank
+    # architectures (best 9.4% ~ 1.8x random after 122 archs); 400 scanned
+    # steps cost ~one dispatch each thanks to the fast_train lax.scan and
+    # clear the calibration bar (scripts/pso_calibrate.py: repeat-seed
+    # spread << between-architecture spread). The partial trace embeds the
+    # full swarm state, so re-running this script RESUMES the trajectory.
     res = run_pso_sweep(
-        n_particles=18, iters=iters, seed=0, train_steps=30,
+        n_particles=18, iters=iters, seed=0, train_steps=400,
         frames_per_class=512, frame_len=256,
         classes=tuple(TARGET_MODULATIONS_19), channel=True,
-        output_path=out, verbose=True,
+        output_path=out, verbose=True, resume_path=out,
     )
     print(json.dumps({k: res[k] for k in
                       ("best_val_accuracy", "best_hparams", "evaluations",

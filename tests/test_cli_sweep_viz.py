@@ -311,3 +311,38 @@ def test_fitness_memoizes_compiles_per_architecture():
     st = create_train_state(_init(_jax.random.PRNGKey(0), cfg), tcfg)
     st = set_learning_rate(st, 3e-4)
     assert abs(float(st.opt_state.hyperparams["learning_rate"]) - 3e-4) < 1e-9
+
+
+def test_pso_resume_reproduces_trajectory():
+    """Round 5: the per-iteration swarm state persisted by on_iter must
+    resume the EXACT trajectory — a sweep interrupted at iteration k and
+    resumed matches the uninterrupted run bit-for-bit."""
+    import numpy as np
+
+    from vitiq.sweep import global_best_pso
+
+    def fitness(X):
+        return np.sum((X - 0.3) ** 2, axis=1)
+
+    bounds = (np.zeros(3), np.ones(3))
+    full = global_best_pso(fitness, n_particles=5, iters=6, seed=3,
+                           bounds=bounds)
+
+    captured = {}
+
+    def grab(it, gx, gc, hist, swarm_state):
+        if it == 2:
+            # JSON round-trip, exactly like the persisted artifact
+            import json
+
+            captured["state"] = json.loads(json.dumps(swarm_state))
+
+    global_best_pso(fitness, n_particles=5, iters=3, seed=3, bounds=bounds,
+                    on_iter=grab)
+    assert "state" in captured
+    resumed = global_best_pso(fitness, n_particles=5, iters=6, seed=3,
+                              bounds=bounds, init_state=captured["state"])
+    np.testing.assert_allclose(resumed.best_position, full.best_position)
+    assert resumed.best_cost == full.best_cost
+    np.testing.assert_allclose(resumed.cost_history, full.cost_history)
+    assert resumed.evaluations == full.evaluations

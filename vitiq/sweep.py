@@ -101,24 +101,40 @@ def global_best_pso(
     bounds: Tuple[np.ndarray, np.ndarray] = (MIN_BOUNDS, MAX_BOUNDS),
     verbose: bool = False,
     on_iter: Optional[Callable] = None,
+    init_state: Optional[Dict] = None,
 ) -> PSOResult:
     """Canonical global-best PSO; `fitness(X[n_particles, dim]) -> cost[n]`.
-    `on_iter(it, gbest_x, gbest_cost, history)` fires after each iteration —
-    long on-chip sweeps use it to persist the partial trace."""
+    `on_iter(it, gbest_x, gbest_cost, history, swarm_state)` fires after each
+    iteration — long on-chip sweeps use it to persist the partial trace
+    including the FULL swarm state; passing that dict back as `init_state`
+    resumes the trajectory exactly (round 5: interrupted sweeps continue
+    instead of restarting)."""
     rng = np.random.default_rng(seed)
     lo, hi = bounds
     dim = len(lo)
-    x = rng.uniform(lo, hi, (n_particles, dim))
-    v = np.zeros_like(x)
+    if init_state is not None:
+        x = np.asarray(init_state["x"], np.float64)
+        v = np.asarray(init_state["v"], np.float64)
+        pbest_x = np.asarray(init_state["pbest_x"], np.float64)
+        pbest_cost = np.asarray(init_state["pbest_cost"], np.float64)
+        gbest_x = np.asarray(init_state["gbest_x"], np.float64)
+        gbest_cost = float(init_state["gbest_cost"])
+        history = list(init_state["history"])
+        start_it = int(init_state["iters_done"])
+        evals = int(init_state.get("evaluations", (start_it + 1) * n_particles))
+        rng.bit_generator.state = init_state["rng_state"]
+    else:
+        x = rng.uniform(lo, hi, (n_particles, dim))
+        v = np.zeros_like(x)
+        pbest_x = x.copy()
+        pbest_cost = fitness(x)
+        g = int(np.argmin(pbest_cost))
+        gbest_x, gbest_cost = pbest_x[g].copy(), float(pbest_cost[g])
+        history = [gbest_cost]
+        evals = n_particles
+        start_it = 0
 
-    pbest_x = x.copy()
-    pbest_cost = fitness(x)
-    g = int(np.argmin(pbest_cost))
-    gbest_x, gbest_cost = pbest_x[g].copy(), float(pbest_cost[g])
-    history = [gbest_cost]
-    evals = n_particles
-
-    for it in range(iters):
+    for it in range(start_it, iters):
         r1 = rng.random((n_particles, dim))
         r2 = rng.random((n_particles, dim))
         v = w * v + c1 * r1 * (pbest_x - x) + c2 * r2 * (gbest_x - x)
@@ -137,7 +153,16 @@ def global_best_pso(
             print(f"pso iter {it + 1}/{iters}: best_cost={gbest_cost:.4f}",
                   flush=True)
         if on_iter is not None:
-            on_iter(it, gbest_x, gbest_cost, history)
+            swarm_state = {
+                "x": x.tolist(), "v": v.tolist(),
+                "pbest_x": pbest_x.tolist(),
+                "pbest_cost": pbest_cost.tolist(),
+                "gbest_x": gbest_x.tolist(), "gbest_cost": gbest_cost,
+                "history": history, "iters_done": it + 1,
+                "evaluations": evals,
+                "rng_state": rng.bit_generator.state,
+            }
+            on_iter(it, gbest_x, gbest_cost, history, swarm_state)
 
     # decode only applies to the 9-dim AMC space; generic optimizations
     # (tests, other spaces) get the raw position
@@ -158,24 +183,48 @@ def make_amc_fitness(
     jitted steps (the sketch's fast_train, fixed: real forward on batches,
     correct variable names — ref bugs catalogued in SURVEY.md §2.7).
 
-    Compiled train/eval steps are MEMOIZED per architecture (everything
+    Round 5 (VERDICT r4 item 3): the whole fast-train runs as ONE scanned
+    device call per evaluation (batches index-gathered from the device-
+    resident corpus — the refscale train_chunk pattern), and the eval pass
+    scans the FULL valid split. Per-step dispatch cost (~55 ms through the
+    remote relay) made the round-4 sweep's 30-step budget both slow AND too
+    weak to rank architectures (best 9.4% vs 5.3% random after 122
+    architectures); scanning makes a 400-step budget cost roughly one
+    dispatch, so the budget that actually discriminates (see
+    scripts/pso_calibrate.py) is affordable.
+
+    Compiled train/eval programs are MEMOIZED per architecture (everything
     shape-affecting; the learning rate is excluded because it is injected
     state, vitiq/train/optim.py) — revisited architectures cost zero
     compiles. Combine with bucket=True (see decode_particle) for TPU runs.
-    The returned callable exposes `.compile_cache` for introspection."""
+    The returned callable exposes `.compile_cache` for introspection and
+    `.eval_hp(hp, seed=...)` for direct architecture evaluation (the
+    calibration harness drives it)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from vitiq.config import ModelConfig, TrainConfig
     from vitiq.dsp import preprocess_batch_rawiq, preprocess_batch_vit
     from vitiq.models import init_amc_params, make_forward
-    from vitiq.train.loop import make_eval_step, make_train_step
-    from vitiq.train.optim import create_train_state, make_optimizer
+    from vitiq.ops.metrics import accuracy as _acc_fn
+    from vitiq.ops.metrics import label_smoothed_cross_entropy
+    from vitiq.train.loop import _as_rbg_key
+    from vitiq.train.optim import (TrainState, create_train_state,
+                                   make_optimizer, set_learning_rate)
 
     x_train, y_train = train_data
     x_valid, y_valid = valid_data
     stats = {"i_mean": 0.0, "i_std": 1.0, "q_mean": 0.0, "q_std": 1.0}
+    # one-time device residency: the sweep corpus is small (tens of MB)
+    xd_tr = jnp.asarray(np.asarray(x_train, np.float32))
+    yd_tr = jnp.asarray(np.asarray(y_train, np.int32))
+    xd_va = jnp.asarray(np.asarray(x_valid, np.float32))
+    yd_va = jnp.asarray(np.asarray(y_valid, np.int32))
+    n_va = int(xd_va.shape[0])
     compile_cache: Dict[tuple, tuple] = {}
+    on_tpu = jax.default_backend() == "tpu"
 
     def compiled_for(hp: Dict):
         key = tuple(sorted((k, v) for k, v in hp.items() if k != "learning_rate"))
@@ -202,34 +251,65 @@ def make_amc_fitness(
         tcfg = TrainConfig(batch_size=hp["batch_size"], learning_rate=hp["learning_rate"])
         fwd = make_forward(cfg)
         tx = make_optimizer(tcfg)
-        step = make_train_step(fwd, tx, tcfg.label_smoothing, pre)
-        estep = make_eval_step(fwd, 0.0, pre)
-        compile_cache[key] = (cfg, tcfg, step, estep)
+        smoothing = tcfg.label_smoothing
+        bs = hp["batch_size"]
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fast_train(state, idx, rng):
+            """idx [steps, bs] int32 gathers batches from the resident
+            corpus; the whole budget is ONE device call."""
+
+            def body(st, bi):
+                x = jnp.take(xd_tr, bi, axis=0)
+                y = jnp.take(yd_tr, bi, axis=0)
+                inputs = pre(x)
+                drng = jax.random.fold_in(rng, st.step)
+                if on_tpu:
+                    drng = _as_rbg_key(drng)
+
+                def loss_fn(p):
+                    logits = fwd(p, inputs, train=True, rng=drng)
+                    return label_smoothed_cross_entropy(logits, y, smoothing)
+
+                loss, grads = jax.value_and_grad(loss_fn)(st.params)
+                updates, opt_state = tx.update(grads, st.opt_state, st.params)
+                new_p = jax.tree_util.tree_map(lambda p, u: p + u,
+                                               st.params, updates)
+                return TrainState(params=new_p, opt_state=opt_state,
+                                  step=st.step + 1), loss
+
+            state, losses = jax.lax.scan(body, state, idx)
+            return state, losses[-1]
+
+        bs_e = min(bs, n_va)  # tiny CPU-test corpora can be < one batch
+        va_steps = max(n_va // bs_e, 1)
+
+        @jax.jit
+        def fast_eval(params):
+            def body(carry, i):
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * bs_e, bs_e, 0)
+                logits = fwd(params, pre(sl(xd_va)), train=False)
+                return carry + _acc_fn(logits, sl(yd_va)), None
+
+            total, _ = jax.lax.scan(body, jnp.zeros(()),
+                                    jnp.arange(va_steps))
+            return total / va_steps
+
+        compile_cache[key] = (cfg, tcfg, fast_train, fast_eval)
         return compile_cache[key]
 
-    def eval_one(hp: Dict) -> float:
-        from vitiq.train.optim import set_learning_rate
-
-        cfg, tcfg, step, estep = compiled_for(hp)
-        params = init_amc_params(jax.random.PRNGKey(seed), cfg)
+    def eval_one(hp: Dict, eval_seed: Optional[int] = None) -> float:
+        s = seed if eval_seed is None else eval_seed
+        cfg, tcfg, fast_train, fast_eval = compiled_for(hp)
+        params = init_amc_params(jax.random.PRNGKey(s), cfg)
         state = create_train_state(params, tcfg)
         state = set_learning_rate(state, hp["learning_rate"])
-
-        rng = jax.random.PRNGKey(seed)
-        srng = np.random.default_rng(seed)
         bs = hp["batch_size"]
-        for _ in range(train_steps):
-            idx = srng.integers(0, len(x_train), bs)
-            state, _ = step(state, jnp.asarray(x_train[idx]), jnp.asarray(y_train[idx]), rng)
-
-        correct = count = 0.0
-        for b in range(min(eval_batches, len(x_valid) // bs)):
-            sl = slice(b * bs, (b + 1) * bs)
-            m = estep(state.params, jnp.asarray(x_valid[sl]), jnp.asarray(y_valid[sl]),
-                      jnp.ones((bs,), jnp.float32))
-            correct += float(m["correct_sum"])
-            count += float(m["count"])
-        return correct / max(count, 1.0)
+        idx = np.random.default_rng(s).integers(
+            0, len(x_train), (train_steps, bs)).astype(np.int32)
+        state, _last_loss = fast_train(state, jnp.asarray(idx),
+                                       jax.random.PRNGKey(s))
+        return float(fast_eval(state.params))
 
     def fitness(X: np.ndarray) -> np.ndarray:
         costs = np.empty(len(X))
@@ -244,6 +324,7 @@ def make_amc_fitness(
         return costs
 
     fitness.compile_cache = compile_cache
+    fitness.eval_hp = eval_one
     return fitness
 
 
@@ -262,6 +343,7 @@ def run_pso_sweep(
     bucket: Optional[bool] = None,
     classes: Optional[Tuple[str, ...]] = None,
     channel: bool = False,
+    resume_path: Optional[str] = None,
 ) -> Dict:
     """End-to-end sweep over the 9-dim reference search space.
 
@@ -269,11 +351,25 @@ def run_pso_sweep(
     per-architecture compile memoization keep the sweep to a few dozen
     compiles instead of one per evaluation — see decode_particle) and False
     elsewhere (CPU compiles are cheap; the unbucketed space is the
-    reference sketch's exact search space)."""
+    reference sketch's exact search space).
+
+    `resume_path`: a partial-trace JSON written by a previous run (the
+    per-iteration artifact embeds the full swarm state) — the sweep
+    continues its exact trajectory from the recorded iteration."""
     if bucket is None:
         import jax
 
         bucket = jax.default_backend() == "tpu"
+    init_state = None
+    if resume_path and Path(resume_path).exists():
+        prev = json.loads(Path(resume_path).read_text())
+        if prev.get("partial") and prev.get("swarm_state"):
+            init_state = prev["swarm_state"]
+            # numpy Generator state restoration wants the exact dict shape
+            init_state["rng_state"] = prev["swarm_state"]["rng_state"]
+            if verbose:
+                print(f"resuming sweep from iteration "
+                      f"{init_state['iters_done']}", flush=True)
     if source == "synthetic":
         from vitiq.data import ChannelModel, SyntheticAMCDataset
 
@@ -301,7 +397,7 @@ def run_pso_sweep(
     fitness = make_amc_fitness(train, valid, num_classes, seq_length,
                                train_steps=train_steps, seed=seed, bucket=bucket)
 
-    def persist_partial(it, gx, gc, hist):
+    def persist_partial(it, gx, gc, hist, swarm_state):
         if not output_path:
             return
         Path(output_path).write_text(json.dumps({
@@ -310,11 +406,13 @@ def run_pso_sweep(
             "best_hparams": decode_particle(gx, bucket=bucket),
             "cost_history": hist,
             "distinct_architectures_compiled": len(fitness.compile_cache),
+            "train_steps": train_steps,
+            "swarm_state": swarm_state,
         }, indent=2, default=float))
 
     result = global_best_pso(fitness, n_particles=n_particles, iters=iters,
                              seed=seed, verbose=verbose,
-                             on_iter=persist_partial)
+                             on_iter=persist_partial, init_state=init_state)
     out = {
         "best_val_accuracy": -result.best_cost,
         "best_hparams": result.best_hparams,
@@ -322,6 +420,8 @@ def run_pso_sweep(
         "evaluations": result.evaluations,
         "distinct_architectures_compiled": len(fitness.compile_cache),
         "bucketed": bucket,
+        "train_steps": train_steps,
+        "partial": False,
     }
     if output_path:
         Path(output_path).write_text(json.dumps(out, indent=2, default=float))
