@@ -260,6 +260,7 @@ def cmd_sweep(args) -> int:
         train_steps=args.train_steps, source=args.source,
         file_path=args.file_path, json_path=args.json_path,
         output_path=args.output,
+        resume_path=args.output if getattr(args, "resume", False) else None,
     )
     print(json.dumps(best, indent=2, default=float))
     return 0
@@ -373,6 +374,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--file_path", type=str)
     p.add_argument("--json_path", type=str)
     p.add_argument("--output", type=str, default="sweep_results.json")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume the exact swarm trajectory from a partial "
+                        "trace at --output (written every iteration)")
     p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("bench", help="Throughput / latency benchmarks")
