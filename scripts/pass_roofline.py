@@ -68,7 +68,7 @@ def serving_macs(L, D, H, ffn, n_layers, cls_only=True, xpack=True,
 CONFIGS = [
     # name, (L, D, H, ffn, layers, cls_only, xpack, embed), measured fps
     ("flagship ViT H8 (d128/L6, Lp144)",
-     (129, 128, 8, 512, 6, True, True, gemm(128, 32, 128)), 135_764),
+     (129, 128, 8, 512, 6, True, True, gemm(128, 32, 128)), 142_229),
     ("flagship H4", (129, 128, 4, 512, 6, True, True,
                      gemm(128, 32, 128)), 175_100),
     ("flagship H2", (129, 128, 2, 512, 6, True, True,
@@ -83,7 +83,7 @@ CONFIGS = [
     # halves kernel-real M; seg-16: Lp 80->64). cls_only=False (mean needs
     # every token, so the last layer runs full).
     ("rawIQ seg-64 MEAN-POOL (16 tok, Lp16)",
-     (16, 128, 8, 1024, 6, False, True, gemm(16, 128, 128)), 1_299_949),
+     (16, 128, 8, 1024, 6, False, True, gemm(16, 128, 128)), 1_488_112),
     ("rawIQ seg-16 MEAN-POOL (64 tok, Lp64)",
      (64, 128, 8, 1024, 6, False, True, gemm(64, 32, 128)), 310_075),
     # conv1d serves through the CHAINED core (xpack VMEM-ineligible)
