@@ -346,3 +346,20 @@ def test_pso_resume_reproduces_trajectory():
     assert resumed.best_cost == full.best_cost
     np.testing.assert_allclose(resumed.cost_history, full.cost_history)
     assert resumed.evaluations == full.evaluations
+
+
+def test_bench_slope_timing_diagnostics():
+    """Round 5: the fori-slope timing path must expose its self-diagnostics
+    (timing_method, overhead, chosen depth) and the RTT probe must return
+    sane values — these keys are how a weather-contaminated driver capture
+    is detected post-hoc (VERDICT r4 item 1)."""
+    from vitiq.bench import bench_fused_infer, measure_dispatch_rtt
+
+    r = bench_fused_infer("rawiq_seg64_mp", batch_size=16, steps=2)
+    assert r["timing_method"] == "fori-slope"
+    assert r["k_big"] >= 3
+    assert r["overhead_p50_ms"] >= 0.0
+    assert r["value"] > 0
+
+    rtt = measure_dispatch_rtt(3)
+    assert rtt["min_ms"] > 0 and rtt["p50_ms"] >= rtt["min_ms"]
