@@ -103,11 +103,13 @@ def main() -> int:
         xs, ys, zs = [], [], []
         for label, mod in enumerate(classes):
             sig = generate_frames(mod, f, L, rng, channel=ch)
-            sig = sig * np.exp(1j * rng.uniform(0, 2 * np.pi, (f, 1)))
+            sig = sig * np.exp(1j * rng.uniform(0, 2 * np.pi, (f, 1))
+                               ).astype(np.complex64)
             snr = rng.choice(np.asarray(SNR_GRID, np.float32), f)
-            ns = np.sqrt(10.0 ** (-snr / 10.0) / 2.0)[:, None]
+            ns = np.sqrt(10.0 ** (-snr / 10.0) / 2.0)[:, None].astype(np.float32)
             sig = sig + ns * (rng.standard_normal((f, L))
-                              + 1j * rng.standard_normal((f, L)))
+                              + 1j * rng.standard_normal((f, L))
+                              ).astype(np.complex64)
             x = np.empty((f, L, 2), np.float32)
             x[:, :, 0] = sig.real
             x[:, :, 1] = sig.imag
